@@ -1,0 +1,72 @@
+"""mfem_ad_tpu — a TPU-native (JAX/XLA/Pallas) automatic-differentiation
+finite-element framework.
+
+Re-designed from scratch with the capabilities of the reference library
+``dohyun-cse/mfem-ad`` (a C++17 library on top of MFEM; see
+``/root/reference``).  The reference's one big idea — write a scalar energy
+density at a quadrature point and get the element energy, residual (via
+forward-mode dual-number AD), and Jacobian (via nested duals) for free —
+maps one-to-one onto JAX: an energy is a plain Python function
+``f(x, params) -> scalar`` and the residual/Jacobian come from
+``jax.grad`` / ``jax.hessian`` vmapped over ``[n_elem, n_qp]`` batches.
+
+Layer map (cf. reference SURVEY.md §1):
+
+=========  ======================================  =======================
+reference  this package                            notes
+=========  ======================================  =======================
+MFEM       ``mesh`` ``fespace`` ``quadrature``     arrays, not objects
+           ``basis`` ``geometry``
+ad_native  ``ad``                                  jax.grad/hessian
+ad_intg    ``adeval`` ``integrator`` ``forms``     batched einsum assembly
+pg/dof_pg  ``pg`` ``dof_pg``                       jit-compiled LVPP loop
+mmto       ``mmto``                                completed (ref stubbed)
+tools/log  ``utils``                               TableLogger, VTK, ckpt
+MPI/hypre  ``parallel``                            shard_map + psum
+—          ``ops``                                 Pallas fused kernels
+=========  ======================================  =======================
+"""
+
+import os
+
+# Finite elements need f64 for the reference's 1e-8..1e-10 tolerances
+# (ex2.cpp:83, ex4.cpp:172).  Opt out with MFEM_AD_TPU_NO_X64=1 — the
+# performance-critical kernels are dtype-generic and benched in f32.
+if not os.environ.get("MFEM_AD_TPU_NO_X64"):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+from . import quadrature, basis, mesh, geometry, fespace  # noqa: E402
+from .ad import (  # noqa: E402
+    ADFunction,
+    ADVectorFunction,
+    MassEnergy,
+    DiffusionEnergy,
+    DiffEnergy,
+    LinearElasticityEnergy,
+    Lagrangian,
+    ALFunctional,
+    admax,
+    admin,
+)
+from .adeval import ADEval  # noqa: E402
+from .coefficients import (  # noqa: E402
+    Coefficient,
+    ConstantCoefficient,
+    FunctionCoefficient,
+    GridFunctionCoefficient,
+)
+from .forms import NonlinearForm, BlockNonlinearForm, LinearForm  # noqa: E402
+from .pg import (  # noqa: E402
+    PGStepSizeRule,
+    ADPGFunctional,
+    ADLambdaPGFunctional,
+    ShannonEntropy,
+    FermiDiracEntropy,
+    HellingerEntropy,
+    SimplexEntropy,
+    PGSolver,
+)
+
+__version__ = "0.1.0"

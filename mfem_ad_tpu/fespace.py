@@ -1,0 +1,478 @@
+"""Finite element spaces: global DOF numbering, boundary DOFs, projection.
+
+The TPU-native replacement for MFEM's ``FiniteElementSpace``/``GridFunction``
+pair (used throughout the reference, e.g. ex1.cpp:47-48, ex4.cpp:99-102):
+a space is a set of *arrays* — an element-to-dof gather map ``edof
+[n_elem, n_dof]``, canonical node coordinates ``node_coords [ndof, dim]`` and
+boundary lookup tables — consumed by jitted batched assembly.
+
+H1 continuity is established topologically (vertex/edge/face/interior dof
+classes with orientation-canonical numbering), exactly as MFEM does
+internally, so shared dofs match bitwise for any element orientation.
+
+Vector spaces (vdim>1) use MFEM's byNODES ordering: global dof =
+``component * ndof_scalar + scalar_dof`` (matches the reference's elfun
+layout, src/ad_intg.hpp:223-229).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .basis import lobatto_points, ref_element
+from .mesh import Mesh
+from .quadrature import CUBE, SEGMENT, SQUARE, TRIANGLE
+
+H1 = "H1"
+L2 = "L2"
+
+# local edges as (corner, corner) index pairs into the lex corner ordering,
+# and the lattice direction each runs along
+_QUAD_EDGES = [(0, 1), (2, 3), (0, 2), (1, 3)]  # bottom, top, left, right
+_TRI_EDGES = [(0, 1), (0, 2), (1, 2)]
+_HEX_EDGES = [
+    (0, 1), (2, 3), (4, 5), (6, 7),  # x-edges
+    (0, 2), (1, 3), (4, 6), (5, 7),  # y-edges
+    (0, 4), (1, 5), (2, 6), (3, 7),  # z-edges
+]
+_HEX_FACES = [
+    (0, 1, 2, 3), (4, 5, 6, 7),  # z=0, z=1
+    (0, 1, 4, 5), (2, 3, 6, 7),  # y=0, y=1
+    (0, 2, 4, 6), (1, 3, 5, 7),  # x=0, x=1
+]
+
+
+def _classify_tensor_nodes(geom: str, p: int):
+    """Classify lex-ordered tensor nodes into vertex/edge/face/interior.
+
+    Returns dict with per-node records; k-indices are lattice integers.
+    """
+    n1 = p + 1
+    recs = []
+    if geom == SQUARE:
+        for node in range(n1 * n1):
+            ix, iy = node % n1, node // n1
+            onx = ix in (0, p)
+            ony = iy in (0, p)
+            if onx and ony:
+                corner = (ix // p) + 2 * (iy // p)
+                recs.append(("v", corner))
+            elif ony:  # bottom/top edge, runs along x
+                le = 0 if iy == 0 else 1
+                recs.append(("e", le, ix))
+            elif onx:  # left/right edge, runs along y
+                le = 2 if ix == 0 else 3
+                recs.append(("e", le, iy))
+            else:
+                recs.append(("i", (iy - 1) * (p - 1) + (ix - 1)))
+    elif geom == CUBE:
+        for node in range(n1**3):
+            ix = node % n1
+            iy = (node // n1) % n1
+            iz = node // (n1 * n1)
+            on = [c in (0, p) for c in (ix, iy, iz)]
+            bits = (ix // p, iy // p, iz // p)
+            if all(on):
+                recs.append(("v", bits[0] + 2 * bits[1] + 4 * bits[2]))
+            elif sum(on) == 2:
+                if not on[0]:  # x-edge
+                    le = bits[1] + 2 * bits[2]
+                    recs.append(("e", le, ix))
+                elif not on[1]:
+                    le = 4 + bits[0] + 2 * bits[2]
+                    recs.append(("e", le, iy))
+                else:
+                    le = 8 + bits[0] + 2 * bits[1]
+                    recs.append(("e", le, iz))
+            elif sum(on) == 1:
+                if on[2]:  # z=const face: local axes (x, y)
+                    lf = 0 + bits[2]
+                    recs.append(("f", lf, ix, iy))
+                elif on[1]:  # y=const face: local axes (x, z)
+                    lf = 2 + bits[1]
+                    recs.append(("f", lf, ix, iz))
+                else:  # x=const face: local axes (y, z)
+                    lf = 4 + bits[0]
+                    recs.append(("f", lf, iy, iz))
+            else:
+                recs.append(
+                    (
+                        "i",
+                        (iz - 1) * (p - 1) ** 2 + (iy - 1) * (p - 1) + (ix - 1),
+                    )
+                )
+    elif geom == TRIANGLE:
+        node = 0
+        ii = 0
+        for j in range(p + 1):
+            for i in range(p + 1 - j):
+                if (i, j) == (0, 0):
+                    recs.append(("v", 0))
+                elif (i, j) == (p, 0):
+                    recs.append(("v", 1))
+                elif (i, j) == (0, p):
+                    recs.append(("v", 2))
+                elif j == 0:
+                    recs.append(("e", 0, i))
+                elif i == 0:
+                    recs.append(("e", 1, j))
+                elif i + j == p:
+                    recs.append(("e", 2, j))
+                else:
+                    recs.append(("i", ii))
+                    ii += 1
+                node += 1
+    else:
+        raise ValueError(geom)
+    return recs
+
+
+def _edge_params(geom: str, p: int) -> np.ndarray:
+    """Parameter t_k (k=0..p) along an edge for interior edge nodes."""
+    if geom in (SQUARE, CUBE):
+        return lobatto_points(p)
+    return np.arange(p + 1, dtype=np.float64) / p  # triangle lattice
+
+
+class FESpace:
+    """Scalar-or-vector nodal FE space on a Mesh.
+
+    Attributes:
+        edof:        [n_elem, nd] int32 scalar-dof gather map.
+        ndof_scalar: number of scalar dofs.
+        node_coords: [ndof_scalar, dim] canonical dof coordinates.
+        vdim:        vector dimension (byNODES global layout).
+    """
+
+    def __init__(self, mesh: Mesh, order: int, fe_type: str = H1, vdim: int = 1):
+        if fe_type == H1 and order < 1:
+            raise ValueError("H1 requires order >= 1")
+        self.mesh = mesh
+        self.order = order
+        self.fe_type = fe_type
+        self.vdim = vdim
+        self.elem = ref_element(mesh.geom, order)
+        self.nd = self.elem.ndof
+        if fe_type == L2:
+            self._build_l2()
+        elif fe_type == H1:
+            self._build_h1()
+        else:
+            raise ValueError(f"unknown fe_type {fe_type!r}")
+
+    # ------------------------------------------------------------------
+    @property
+    def ndof(self) -> int:
+        """Total dofs including vdim."""
+        return self.ndof_scalar * self.vdim
+
+    @property
+    def num_elements(self) -> int:
+        return self.mesh.num_elements
+
+    def _geometry_node_coords(self) -> np.ndarray:
+        """[ne, nd, dim] element-local node coords via the geometry map."""
+        geo = ref_element(self.mesh.geom, 1)
+        N = geo.eval(self.elem.nodes)  # [nd, ncorner]
+        corners = self.mesh.corner_coords()  # [ne, nc, dim]
+        return np.einsum("dc,eck->edk", N, corners)
+
+    # ------------------------------------------------------------------
+    def _build_l2(self):
+        ne, nd = self.mesh.num_elements, self.nd
+        self.edof = (
+            np.arange(ne * nd, dtype=np.int64).reshape(ne, nd).astype(np.int32)
+        )
+        self.ndof_scalar = ne * nd
+        self.node_coords = self._geometry_node_coords().reshape(-1, self.mesh.dim)
+        self._edge_index = None
+        self._face_index = None
+
+    # ------------------------------------------------------------------
+    def _build_h1(self):
+        mesh, p = self.mesh, self.order
+        ne, nv = mesh.num_elements, mesh.num_vertices
+        geom = mesh.geom
+        e = mesh.elements.astype(np.int64)
+
+        if geom == SQUARE:
+            ledges, lfaces = _QUAD_EDGES, []
+        elif geom == TRIANGLE:
+            ledges, lfaces = _TRI_EDGES, []
+        elif geom == CUBE:
+            ledges, lfaces = _HEX_EDGES, _HEX_FACES
+        else:
+            raise ValueError(geom)
+
+        # ---- unique edges (sorted pairs) and faces (sorted quadruples)
+        el_edges = np.stack([e[:, list(pr)] for pr in ledges], axis=1)  # [ne, nle, 2]
+        flat_edges = np.sort(el_edges.reshape(-1, 2), axis=1)
+        uniq_edges, edge_inv = np.unique(flat_edges, axis=0, return_inverse=True)
+        edge_inv = edge_inv.reshape(ne, len(ledges))
+        n_edges = uniq_edges.shape[0]
+
+        if lfaces:
+            el_faces = np.stack([e[:, list(q)] for q in lfaces], axis=1)
+            n_lf = len(lfaces)
+        else:
+            el_faces = np.zeros((ne, 0, 4), dtype=np.int64)
+            n_lf = 0
+        if n_lf:
+            flat_faces = np.sort(el_faces.reshape(-1, 4), axis=1)
+            uniq_faces, face_inv = np.unique(
+                flat_faces, axis=0, return_inverse=True
+            )
+            face_inv = face_inv.reshape(ne, n_lf)
+            n_faces = uniq_faces.shape[0]
+        else:
+            uniq_faces = np.zeros((0, 4), dtype=np.int64)
+            face_inv = np.zeros((ne, 0), dtype=np.int64)
+            n_faces = 0
+
+        npe = p - 1  # dofs per edge
+        npf = (p - 1) ** 2  # dofs per (quad) face
+        recs = _classify_tensor_nodes(geom, p)
+        n_int = sum(1 for r in recs if r[0] == "i")
+
+        off_edge = nv
+        off_face = off_edge + n_edges * npe
+        off_int = off_face + n_faces * npf
+        self.ndof_scalar = off_int + ne * n_int
+
+        # ---- element dof map, orientation-canonical for edges/faces
+        edof = np.empty((ne, self.nd), dtype=np.int64)
+        tpar = _edge_params(geom, p)
+        for li, rec in enumerate(recs):
+            kind = rec[0]
+            if kind == "v":
+                edof[:, li] = e[:, rec[1]]
+            elif kind == "e":
+                le, k = rec[1], rec[2]
+                a = e[:, ledges[le][0]]
+                b = e[:, ledges[le][1]]
+                # canonical orientation: along (min(a,b) -> max(a,b))
+                kk = np.where(a < b, k, p - k)
+                edof[:, li] = off_edge + edge_inv[:, le] * npe + (kk - 1)
+            elif kind == "f":
+                lf, ks, kt = rec[1], rec[2], rec[3]
+                corners = el_faces[:, lf, :]  # local order [c00,c10,c01,c11]
+                kks, kkt = _canonical_face_index(corners, ks, kt, p)
+                edof[:, li] = (
+                    off_face
+                    + face_inv[:, lf] * npf
+                    + (kkt - 1) * (p - 1)
+                    + (kks - 1)
+                )
+            else:
+                edof[:, li] = off_int + np.arange(ne) * n_int + rec[1]
+        self.edof = edof.astype(np.int32)
+
+        # ---- canonical node coordinates per dof class
+        V = mesh.vertices
+        coords = np.empty((self.ndof_scalar, mesh.dim))
+        coords[:nv] = V
+        if npe > 0 and n_edges > 0:
+            a = V[uniq_edges[:, 0]][:, None, :]  # [n_edges,1,dim]
+            b = V[uniq_edges[:, 1]][:, None, :]
+            t = tpar[1:p][None, :, None]
+            coords[off_edge:off_face] = ((1.0 - t) * a + t * b).reshape(-1, mesh.dim)
+        if npf > 0 and n_faces > 0:
+            cf = _canonical_face_corners(uniq_faces, el_faces, face_inv)
+            A, B, C, D = (V[cf[:, i]][:, None, None, :] for i in range(4))
+            s = tpar[1:p][None, :, None, None]
+            t = tpar[1:p][None, None, :, None]
+            bil = (
+                (1 - s) * (1 - t) * A
+                + s * (1 - t) * B
+                + (1 - s) * t * C
+                + s * t * D
+            )
+            # index layout: face*npf + (kt-1)*(p-1) + (ks-1)  -> t outer, s inner
+            coords[off_face:off_int] = np.transpose(bil, (0, 2, 1, 3)).reshape(
+                -1, mesh.dim
+            )
+        if n_int > 0:
+            Xe = self._geometry_node_coords()
+            ii = [li for li, r in enumerate(recs) if r[0] == "i"]
+            order_ii = np.argsort([recs[li][1] for li in ii])
+            ii = [ii[k] for k in order_ii]
+            coords[off_int:] = Xe[:, ii, :].reshape(-1, mesh.dim)
+        self.node_coords = coords
+
+        # ---- lookup tables for boundary dof extraction
+        self._edge_sorted = uniq_edges
+        enc = uniq_edges[:, 0] * np.int64(nv) + uniq_edges[:, 1]
+        self._edge_enc_order = np.argsort(enc)
+        self._edge_enc = enc[self._edge_enc_order]
+        self._face_map = (
+            {tuple(row): i for i, row in enumerate(np.sort(uniq_faces, axis=1))}
+            if n_faces
+            else {}
+        )
+        self._offsets = (nv, off_edge, off_face, off_int, npe, npf)
+
+    # ------------------------------------------------------------------
+    def boundary_dofs(self, attr_mask=None) -> np.ndarray:
+        """Scalar dof ids on boundary faces whose attribute is selected.
+
+        ``attr_mask``: None (all), or a boolean/0-1 array indexed by
+        ``attribute-1`` like MFEM's ``is_bdr_ess`` arrays (ex4.cpp:88-92).
+        """
+        mesh = self.mesh
+        if attr_mask is None:
+            sel = np.ones(mesh.bdr_elements.shape[0], dtype=bool)
+        else:
+            attr_mask = np.asarray(attr_mask)
+            sel = attr_mask[mesh.bdr_attributes - 1].astype(bool)
+        bels = mesh.bdr_elements[sel].astype(np.int64)
+        if self.fe_type == L2:
+            # L2 spaces have no boundary-conforming dofs; MFEM returns none
+            return np.zeros(0, dtype=np.int64)
+        p = self.order
+        nv, off_edge, off_face, off_int, npe, npf = self._offsets
+        dofs = [bels.ravel()]
+        if p >= 2:
+            if mesh.dim == 2:
+                eidx = self._find_edges(bels)
+                dofs.append(
+                    (off_edge + eidx[:, None] * npe + np.arange(npe)[None, :]).ravel()
+                )
+            else:
+                # boundary quads [a,b,c,d] lex: edges ab, cd, ac, bd
+                for pr in [(0, 1), (2, 3), (0, 2), (1, 3)]:
+                    eidx = self._find_edges(bels[:, list(pr)])
+                    dofs.append(
+                        (
+                            off_edge
+                            + eidx[:, None] * npe
+                            + np.arange(npe)[None, :]
+                        ).ravel()
+                    )
+                fidx = np.array(
+                    [self._face_map[tuple(r)] for r in np.sort(bels, axis=1)],
+                    dtype=np.int64,
+                )
+                dofs.append(
+                    (off_face + fidx[:, None] * npf + np.arange(npf)[None, :]).ravel()
+                )
+        return np.unique(np.concatenate(dofs)) if dofs else np.zeros(0, np.int64)
+
+    def essential_dofs(self, attr_mask=None, components=None) -> np.ndarray:
+        """Boundary dofs expanded over vdim components (byNODES layout)."""
+        base = self.boundary_dofs(attr_mask)
+        comps = range(self.vdim) if components is None else components
+        return np.concatenate(
+            [base + c * self.ndof_scalar for c in comps]
+        ).astype(np.int64)
+
+    def essential_mask(self, attr_mask=None, components=None) -> np.ndarray:
+        mask = np.zeros(self.ndof, dtype=bool)
+        mask[self.essential_dofs(attr_mask, components)] = True
+        return mask
+
+    def _find_edges(self, pairs: np.ndarray) -> np.ndarray:
+        s = np.sort(pairs, axis=1)
+        q = s[:, 0] * np.int64(self.mesh.num_vertices) + s[:, 1]
+        pos = np.searchsorted(self._edge_enc, q)
+        return self._edge_enc_order[pos]
+
+    # ------------------------------------------------------------------
+    def project(self, fn) -> np.ndarray:
+        """Nodal interpolation of ``fn(x)`` (x: [dim]) -> dof vector.
+
+        For vdim>1, ``fn`` must return a length-vdim array; the result uses
+        byNODES layout.  Equivalent of GridFunction::ProjectCoefficient.
+        """
+        vals = np.array([fn(x) for x in self.node_coords])
+        if self.vdim == 1:
+            return vals.reshape(-1)
+        return vals.T.reshape(-1)  # byNODES: [comp0 all nodes, comp1 ...]
+
+    def project_bdr(self, u: np.ndarray, fn, attr_mask=None) -> np.ndarray:
+        """Overwrite boundary nodal values with fn — ProjectBdrCoefficient."""
+        u = np.array(u)
+        ids = self.boundary_dofs(attr_mask)
+        for c in range(self.vdim):
+            for i in ids:
+                v = fn(self.node_coords[i])
+                u[i + c * self.ndof_scalar] = v if self.vdim == 1 else v[c]
+        return u
+
+
+def _canonical_face_index(corners: np.ndarray, ks: int, kt: int, p: int):
+    """Map local face lattice index (ks,kt) to the canonical face frame.
+
+    ``corners`` [n, 4] are the global vertex ids of the face in local lex
+    order [c00, c10, c01, c11].  Canonical frame: origin = min id corner,
+    s-axis toward its smaller-id (face-adjacent) neighbor.
+    Returns canonical (ks', kt') arrays.
+    """
+    n = corners.shape[0]
+    # local lattice coordinates of the 4 corners
+    corner_st = np.array([(0, 0), (1, 0), (0, 1), (1, 1)])
+    # adjacency on the quad: corner -> its two neighbors (local indices)
+    nbrs = {0: (1, 2), 1: (0, 3), 2: (3, 0), 3: (2, 1)}
+    o = np.argmin(corners, axis=1)  # local index of canonical origin
+    ks_out = np.empty(n, dtype=np.int64)
+    kt_out = np.empty(n, dtype=np.int64)
+    # vectorize over the 4x2 possible (origin, first-axis) configurations
+    for oi in range(4):
+        m = o == oi
+        if not m.any():
+            continue
+        n1, n2 = nbrs[oi]
+        swap = corners[m, n1] > corners[m, n2]
+        # origin local coords and axis directions in the local lattice
+        o_st = corner_st[oi]
+        d1 = corner_st[n1] - o_st  # direction to neighbor 1
+        d2 = corner_st[n2] - o_st
+        # canonical s runs toward the smaller neighbor
+        for sw in (False, True):
+            mm = np.zeros(n, dtype=bool)
+            mm[m] = swap == sw
+            if not mm.any():
+                continue
+            ds = d2 if sw else d1
+            dt = d1 if sw else d2
+            # local lattice coords measured from the canonical origin
+            ls = _axis_coord(ds, o_st, ks, kt, p)
+            lt = _axis_coord(dt, o_st, ks, kt, p)
+            ks_out[mm] = ls
+            kt_out[mm] = lt
+    return ks_out, kt_out
+
+
+def _axis_coord(d: np.ndarray, o_st: np.ndarray, ks: int, kt: int, p: int):
+    """Lattice coordinate along canonical axis d from origin o_st."""
+    if d[0] != 0:  # axis runs along local s
+        return ks if o_st[0] == 0 else p - ks
+    return kt if o_st[1] == 0 else p - kt
+
+
+def _canonical_face_corners(uniq_faces, el_faces, face_inv):
+    """[n_faces, 4] corner ids ordered canonically [g00, g10, g01, g11].
+
+    Reconstructed from one incident element's local face (corner layout
+    [c00, c10, c01, c11]).
+    """
+    n_faces = uniq_faces.shape[0]
+    out = np.empty((n_faces, 4), dtype=np.int64)
+    seen = np.zeros(n_faces, dtype=bool)
+    ne, nlf = face_inv.shape
+    nbrs = {0: (1, 2), 1: (0, 3), 2: (3, 0), 3: (2, 1)}
+    diag = {0: 3, 1: 2, 2: 1, 3: 0}
+    flat_inv = face_inv.ravel()
+    flat_faces = el_faces.reshape(-1, 4)
+    first = np.full(n_faces, -1, dtype=np.int64)
+    for idx in range(flat_inv.shape[0]):
+        f = flat_inv[idx]
+        if first[f] < 0:
+            first[f] = idx
+    for f in range(n_faces):
+        c = flat_faces[first[f]]
+        oi = int(np.argmin(c))
+        n1, n2 = nbrs[oi]
+        if c[n1] > c[n2]:
+            n1, n2 = n2, n1
+        out[f] = (c[oi], c[n1], c[n2], c[diag[oi]])
+    return out

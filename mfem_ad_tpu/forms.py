@@ -1,0 +1,224 @@
+"""Nonlinear/linear forms: global operators with essential-BC handling.
+
+TPU-native equivalents of MFEM's ``NonlinearForm`` / ``BlockNonlinearForm``
+/ ``LinearForm`` as used by the reference examples (ex1.cpp:54-60,
+ex4.cpp:136-153).  A form owns integrators and an essential-dof mask and
+exposes pure, jit-compiled functions of the (concatenated, true-dof) state
+vector:
+
+- ``mult(u, fields)``        residual, zeroed at essential dofs (MFEM
+                             NonlinearForm::Mult semantics)
+- ``energy(u, fields)``      total energy
+- ``grad_state(u, fields)``  per-integrator per-qp Hessians (Newton state)
+- ``grad_mult(state, v)``    matrix-free Jacobian action, with eliminated
+                             rows/columns and identity on essential dofs
+- ``grad_diag(state)``       Jacobian diagonal (Jacobi/block preconditioning)
+- ``assemble_dense(state)``  dense global matrix (small problems / tests,
+                             the UMFPack/MUMPS substitute)
+
+Block systems use MFEM-style true-dof offsets: ``u = concat(u_block0, ...)``
+(ex4.cpp:109-114).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .coefficients import as_coefficient
+from .fespace import FESpace
+from .geometry import geom_factors
+from .integrator import ADBlockIntegrator
+from .quadrature import get_rule
+
+
+class BlockNonlinearForm:
+    def __init__(self, spaces):
+        if isinstance(spaces, FESpace):
+            spaces = [spaces]
+        self.spaces = list(spaces)
+        sizes = [s.ndof for s in self.spaces]
+        self.offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        self.ndof = int(self.offsets[-1])
+        self.integrators: list[ADBlockIntegrator] = []
+        self.ess_mask = jnp.zeros(self.ndof, dtype=bool)
+        self._jit_cache: dict[str, object] = {}
+
+    # ------------------------------------------------------------------
+    def add_domain_integrator(self, intg: ADBlockIntegrator):
+        if len(intg.spaces) != len(self.spaces):
+            raise ValueError("integrator/space count mismatch")
+        self.integrators.append(intg)
+        self._jit_cache.clear()
+        return intg
+
+    def set_essential_bc(self, attr_masks):
+        """Per-space boundary-attribute masks (None entries = no BC).
+
+        Mirrors BlockNonlinearForm::SetEssentialBC (ex4.cpp:152-153): all
+        vdim components of the marked boundaries are constrained.
+        """
+        mask = np.zeros(self.ndof, dtype=bool)
+        for s, am in enumerate(attr_masks):
+            if am is None:
+                continue
+            m = self.spaces[s].essential_mask(am)
+            mask[self.offsets[s] : self.offsets[s + 1]] = m
+        self.ess_mask = jnp.asarray(mask)
+        self._jit_cache.clear()
+
+    def set_essential_dofs(self, dofs_or_mask, space: int = 0):
+        arr = np.asarray(dofs_or_mask)
+        mask = np.array(np.asarray(self.ess_mask))
+        if arr.dtype == bool and arr.size == self.ndof:
+            mask = arr.copy()
+        else:
+            mask[self.offsets[space] + arr.astype(np.int64)] = True
+        self.ess_mask = jnp.asarray(mask)
+        self._jit_cache.clear()
+
+    # ------------------------------------------------------------------
+    def split(self, u):
+        return [
+            u[self.offsets[s] : self.offsets[s + 1]]
+            for s in range(len(self.spaces))
+        ]
+
+    def _concat(self, blocks):
+        return jnp.concatenate(blocks)
+
+    def _jit(self, key, fn):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------------
+    def energy(self, u, fields=None):
+        fn = self._jit(
+            "energy",
+            lambda u, fields: sum(
+                intg.energy(self.split(u), fields) for intg in self.integrators
+            ),
+        )
+        return fn(u, fields or {})
+
+    def mult(self, u, fields=None):
+        """Residual with essential rows zeroed (NonlinearForm::Mult)."""
+
+        def _mult(u, fields):
+            blocks = self.split(u)
+            acc = jnp.zeros(self.ndof, dtype=u.dtype)
+            for intg in self.integrators:
+                rs = intg.residual(blocks, fields)
+                acc = acc + self._concat(rs)
+            return jnp.where(self.ess_mask, 0.0, acc)
+
+        return self._jit("mult", _mult)(u, fields or {})
+
+    def grad_state(self, u, fields=None):
+        fn = self._jit(
+            "grad_state",
+            lambda u, fields: [
+                intg.hess_state(self.split(u), fields)
+                for intg in self.integrators
+            ],
+        )
+        return fn(u, fields or {})
+
+    def grad_mult(self, state, v):
+        """J v with eliminated rows/cols and identity at essential dofs."""
+
+        def _gm(state, v):
+            v0 = jnp.where(self.ess_mask, 0.0, v)
+            blocks = self.split(v0)
+            acc = jnp.zeros(self.ndof, dtype=v.dtype)
+            for intg, Hq in zip(self.integrators, state):
+                ys = intg.hess_mult(Hq, blocks)
+                acc = acc + self._concat(ys)
+            return jnp.where(self.ess_mask, v, acc)
+
+        return self._jit("grad_mult", _gm)(state, v)
+
+    def grad_diag(self, state):
+        def _gd(state):
+            acc = jnp.zeros(self.ndof)
+            for intg, Hq in zip(self.integrators, state):
+                ds = intg.diagonal(Hq)
+                acc = acc + self._concat(ds)
+            return jnp.where(self.ess_mask, 1.0, acc)
+
+        return self._jit("grad_diag", _gd)(state)
+
+    def assemble_dense(self, state) -> np.ndarray:
+        """Dense global Jacobian with BC elimination (direct-solver path)."""
+        A = np.zeros((self.ndof, self.ndof))
+        nb = len(self.spaces)
+        for intg, Hq in zip(self.integrators, state):
+            for s in range(nb):
+                for t in range(nb):
+                    blk = intg.assemble_dense_block(Hq, s, t)
+                    A[
+                        self.offsets[s] : self.offsets[s + 1],
+                        self.offsets[t] : self.offsets[t + 1],
+                    ] += blk
+        ess = np.asarray(self.ess_mask)
+        A[ess, :] = 0.0
+        A[:, ess] = 0.0
+        A[ess, ess] = 1.0
+        return A
+
+
+class NonlinearForm(BlockNonlinearForm):
+    """Single-space convenience wrapper (MFEM NonlinearForm)."""
+
+    def __init__(self, space: FESpace):
+        super().__init__([space])
+
+    @property
+    def space(self) -> FESpace:
+        return self.spaces[0]
+
+    def add_ad_integrator(self, f, mode, ir_order=None):
+        return self.add_domain_integrator(
+            ADBlockIntegrator(f, [self.space], [mode], ir_order=ir_order)
+        )
+
+
+class LinearForm:
+    """Load vector b_d = ∫ f φ_d (DomainLFIntegrator) — ex1.cpp:57-60.
+
+    For vdim>1 spaces, ``coeff`` must produce vdim values per point
+    (VectorDomainLFIntegrator, ex3.cpp:66).
+    """
+
+    def __init__(self, space: FESpace, coeff, ir_order: int | None = None):
+        self.space = space
+        self.coeff = as_coefficient(coeff)
+        self.ir_order = ir_order
+
+    def assemble(self) -> np.ndarray:
+        sp = self.space
+        order = self.ir_order
+        if order is None:
+            order = 2 * sp.order + 2
+        ir = get_rule(sp.mesh.geom, order)
+        gf = geom_factors(sp.mesh, ir)
+        phi = sp.elem.eval(ir.points)  # [nq, nd]
+
+        class _Ctx:
+            xq = gf.xq
+
+        vals = np.asarray(self.coeff.eval_qp(_Ctx))  # [ne, nq, k]
+        if vals.shape[-1] != sp.vdim:
+            raise ValueError(
+                f"load coefficient size {vals.shape[-1]} != vdim {sp.vdim}"
+            )
+        be = np.einsum("qd,eqv,eq->edv", phi, vals, gf.w)
+        idx = np.asarray(sp.edof, dtype=np.int64)[:, :, None] + np.arange(
+            sp.vdim
+        ) * sp.ndof_scalar
+        b = np.zeros(sp.ndof)
+        np.add.at(b, idx, be)
+        return b

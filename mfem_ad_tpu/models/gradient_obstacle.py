@@ -1,0 +1,110 @@
+"""Gradient-constrained obstacle problem via LVPP — reference ex5
+(/root/reference/ex5.cpp): minimize 0.5||grad u||² - (f, u) subject to
+||grad u|| <= φ(x) = 0.1 + 0.2x + 0.4y, via the Hellinger mirror map on
+H1(p) x H1(p-1)^dim spaces over a triangle mesh."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import mesh as M
+from ..ad import ADFunction
+from ..adeval import ADEval
+from ..fespace import FESpace
+from ..forms import BlockNonlinearForm, LinearForm
+from ..integrator import ADBlockIntegrator
+from ..pg import ADPGFunctional, HellingerEntropy, PGSolver, PGStepSizeRule
+from ..quadrature import TRIANGLE
+from ..solvers import NewtonOptions
+
+
+class GradientObstacleEnergy(ADFunction):
+    """0.5 ||grad u||²; input x = grad u (ex5.cpp:15-22)."""
+
+    def __init__(self, dim: int):
+        super().__init__(dim)
+
+    def energy(self, x, p):
+        return 0.5 * jnp.dot(x, x)
+
+
+def load_fn(x):
+    return 15.0 * np.sin(np.pi * x[0]) ** 2
+
+
+def bound_fn(x):
+    return 0.1 + 0.2 * x[0] + 0.4 * x[1]  # ex5.cpp:114-115
+
+
+@dataclass
+class Problem:
+    mesh: object
+    primal_space: FESpace
+    latent_space: FESpace
+    form: BlockNonlinearForm
+    rhs: object
+    pg: ADPGFunctional
+
+
+def build(order: int = 2, ref_levels: int = 3, n0: int = 10) -> Problem:
+    if order < 2:
+        raise ValueError("ex5 requires order >= 2 (latent H1 space order-1)")
+    m = M.make_cartesian_2d(n0, n0, TRIANGLE).uniform_refine(ref_levels)
+    dim = m.dim
+    primal = FESpace(m, order)
+    latent = FESpace(m, order - 1, vdim=dim)
+
+    entropy = HellingerEntropy(dim, bound_fn)
+    pg = ADPGFunctional(GradientObstacleEnergy(dim), entropy, latent)
+
+    form = BlockNonlinearForm([primal, latent])
+    form.add_domain_integrator(
+        ADBlockIntegrator(
+            pg,
+            [primal, latent],
+            [ADEval.GRAD, ADEval.VALUE | ADEval.VECTOR],
+        )
+    )
+    form.set_essential_bc([np.ones(m.max_bdr_attribute()), None])
+
+    rhs = np.zeros(form.ndof)
+    b = LinearForm(primal, load_fn).assemble()
+    b[np.asarray(primal.boundary_dofs())] = 0.0
+    rhs[: primal.ndof] = b
+    return Problem(
+        mesh=m, primal_space=primal, latent_space=latent, form=form,
+        rhs=jnp.asarray(rhs), pg=pg,
+    )
+
+
+def solve(
+    order: int = 2,
+    ref_levels: int = 3,
+    rule_type: int = PGStepSizeRule.CONSTANT,
+    alpha0: float = 1.0,
+    max_alpha: float = 1e6,
+    ratio: float = 1.0,
+    ratio2: float = 1.0,
+    lin_solver: str = "dense",
+    max_pg_iter: int = 100,
+    tol: float = 1e-8,
+    verbose: bool = False,
+    n0: int = 10,
+):
+    pb = build(order, ref_levels, n0=n0)
+    rule = PGStepSizeRule(rule_type, alpha0, max_alpha, ratio, ratio2)
+    nopts = NewtonOptions(
+        abs_tol=1e-9, rel_tol=0.0, max_iter=20, lin_solver=lin_solver,
+        lin_tol=1e-13, lin_maxiter=20000,
+        preconditioner=None if lin_solver == "dense" else "jacobi",
+    )
+    solver = PGSolver(
+        pb.form, rule, latent_block=1, latent_space=pb.latent_space,
+        newton_opts=nopts, max_iter=max_pg_iter, tol=tol, verbose=verbose,
+    )
+    res = solver.solve(jnp.zeros(pb.form.ndof), pb.rhs)
+    return res, pb

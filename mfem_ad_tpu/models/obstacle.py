@@ -1,0 +1,109 @@
+"""Obstacle problem via LVPP proximal Galerkin — reference ex4
+(/root/reference/ex4.cpp): minimize 0.5||grad u||² - (f, u) subject to
+0 <= u <= 0.5, via the FermiDirac mirror map on mixed H1(p+1) x L2(p-1)
+spaces; outer PG loop with the lambda-increment stopping rule."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import mesh as M
+from ..ad import ADFunction
+from ..adeval import ADEval
+from ..fespace import FESpace, L2
+from ..forms import BlockNonlinearForm, LinearForm
+from ..integrator import ADBlockIntegrator
+from ..pg import ADPGFunctional, FermiDiracEntropy, PGSolver, PGStepSizeRule
+from ..solvers import NewtonOptions
+
+
+class ObstacleEnergy(ADFunction):
+    """0.5 ||grad u||²; input x = [u, grad u] (ex4.cpp:15-28)."""
+
+    def __init__(self, dim: int):
+        super().__init__(dim + 1)
+
+    def energy(self, x, p):
+        g = x[1:]
+        return 0.5 * jnp.dot(g, g)
+
+
+def load_fn(x):
+    return 2 * np.pi**2 * np.sin(np.pi * x[0]) * np.sin(np.pi * x[1])
+
+
+@dataclass
+class Problem:
+    mesh: object
+    primal_space: FESpace
+    latent_space: FESpace
+    form: BlockNonlinearForm
+    rhs: object
+    pg: ADPGFunctional
+    ir_order: int
+
+
+def build(order: int = 2, ref_levels: int = 3, n0: int = 10,
+          lower: float = 0.0, upper: float = 0.5) -> Problem:
+    m = M.make_cartesian_2d(n0, n0).uniform_refine(ref_levels)
+    dim = m.dim
+    h1 = FESpace(m, order + 1)
+    l2 = FESpace(m, order - 1, L2)
+
+    entropy = FermiDiracEntropy(lower, upper)
+    pg = ADPGFunctional(ObstacleEnergy(dim), entropy, l2)
+
+    form = BlockNonlinearForm([h1, l2])
+    ir_order = 3 * order + 3  # ex4.cpp:104
+    form.add_domain_integrator(
+        ADBlockIntegrator(
+            pg,
+            [h1, l2],
+            [ADEval.VALUE | ADEval.GRAD, ADEval.VALUE],
+            ir_order=ir_order,
+        )
+    )
+    form.set_essential_bc([np.ones(m.max_bdr_attribute()), None])
+
+    rhs = np.zeros(form.ndof)
+    b = LinearForm(h1, load_fn).assemble()
+    b[np.asarray(h1.boundary_dofs())] = 0.0
+    rhs[: h1.ndof] = b
+    return Problem(
+        mesh=m, primal_space=h1, latent_space=l2, form=form,
+        rhs=jnp.asarray(rhs), pg=pg, ir_order=ir_order,
+    )
+
+
+def solve(
+    order: int = 2,
+    ref_levels: int = 3,
+    rule_type: int = PGStepSizeRule.CONSTANT,
+    alpha0: float = 1.0,
+    max_alpha: float = 1e4,
+    ratio: float = 1.0,
+    ratio2: float = 1.0,
+    lin_solver: str = "dense",
+    max_pg_iter: int = 100,
+    tol: float = 1e-10,
+    verbose: bool = False,
+    n0: int = 10,
+):
+    pb = build(order, ref_levels, n0=n0)
+    rule = PGStepSizeRule(rule_type, alpha0, max_alpha, ratio, ratio2)
+    nopts = NewtonOptions(
+        abs_tol=1e-9, rel_tol=0.0, max_iter=20, lin_solver=lin_solver,
+        lin_tol=1e-13, lin_maxiter=20000,
+        preconditioner=None if lin_solver == "dense" else "jacobi",
+    )
+    solver = PGSolver(
+        pb.form, rule, latent_block=1, latent_space=pb.latent_space,
+        newton_opts=nopts, max_iter=max_pg_iter, tol=tol, verbose=verbose,
+    )
+    x0 = jnp.zeros(pb.form.ndof)
+    res = solver.solve(x0, pb.rhs)
+    return res, pb

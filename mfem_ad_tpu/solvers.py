@@ -1,0 +1,218 @@
+"""Solvers: matrix-free Krylov methods + Newton, and a dense direct path.
+
+The reference leans on sparse direct solvers (UMFPackSolver ex1.cpp:65,
+MUMPSMonoSolver ex4.cpp:166) inside MFEM's NewtonSolver.  TPUs have no
+sparse direct factorization, so the load-bearing substitution is:
+
+- matrix-free preconditioned CG / MINRES / GMRES over the partial-assembly
+  Jacobian action (forms.grad_mult) — the scalable path;
+- a dense LU (``jnp.linalg.solve``) on the assembled global matrix — exact
+  like a direct solver, appropriate for the example-sized problems and for
+  verifying the iterative path.
+
+``newton`` reproduces MFEM NewtonSolver semantics (ex2.cpp:79-89,
+ex4.cpp:167-175): solve J c = r with r = Mult(x) - b, update x <- x - c,
+converge on ||r|| <= max(rel_tol*||r0||, abs_tol).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Krylov methods (jittable, matvec closures)
+# ---------------------------------------------------------------------------
+
+
+def cg(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000):
+    x, _ = jax.scipy.sparse.linalg.cg(
+        matvec, b, x0=x0, M=M, tol=tol, atol=atol, maxiter=maxiter
+    )
+    return x
+
+
+def gmres(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000,
+          restart=50):
+    x, _ = jax.scipy.sparse.linalg.gmres(
+        matvec,
+        b,
+        x0=x0,
+        M=M,
+        tol=tol,
+        atol=atol,
+        maxiter=maxiter,
+        restart=restart,
+        solve_method="batched",
+    )
+    return x
+
+
+def minres(matvec, b, x0=None, M=None, tol=1e-10, maxiter=1000):
+    """MINRES for symmetric (possibly indefinite) systems — the right Krylov
+    method for the LVPP (u, psi) saddle Jacobian (reference solves it with
+    MUMPS instead, tools.hpp:128-154).  Optional SPD preconditioner M.
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if M is None:
+        M = lambda x: x  # noqa: E731
+
+    dt = b.dtype
+    r1 = b - matvec(x0)
+    y = M(r1)
+    beta1 = jnp.sqrt(jnp.abs(jnp.vdot(r1, y)))
+    norm_b = jnp.linalg.norm(b)
+    z = jnp.zeros_like(b)
+
+    # Paige–Saunders MINRES with preconditioning.
+    def body(carry):
+        (x, r1, r2, y, oldb, beta, dbar, epsln, phibar, cs, sn, w, w2, it) = carry
+        bsafe = jnp.where(beta == 0, 1.0, beta)
+        v = y / bsafe
+        yv = matvec(v)
+        yv = jnp.where(it > 0, yv - (beta / jnp.where(oldb == 0, 1.0, oldb)) * r1, yv)
+        alfa = jnp.vdot(v, yv)
+        yv = yv - (alfa / bsafe) * r2
+        r1n, r2n = r2, yv
+        yn = M(yv)
+        oldb_n = beta
+        beta_n = jnp.sqrt(jnp.abs(jnp.vdot(r2n, yn)))
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln_n = sn * beta_n
+        dbar_n = -cs * beta_n
+        gamma = jnp.sqrt(gbar**2 + beta_n**2)
+        gamma = jnp.where(gamma == 0, 1e-300, gamma)
+        cs_n = gbar / gamma
+        sn_n = beta_n / gamma
+        phi = cs_n * phibar
+        phibar_n = sn_n * phibar
+        w1, w2n = w2, w
+        wn = (v - oldeps * w1 - delta * w2n) / gamma
+        xn = x + phi * wn
+        return (
+            xn, r1n, r2n, yn, oldb_n, beta_n, dbar_n, epsln_n, phibar_n,
+            cs_n, sn_n, wn, w2n, it + 1,
+        )
+
+    def cond(carry):
+        phibar, it = carry[8], carry[13]
+        return jnp.logical_and(
+            it < maxiter, phibar > tol * jnp.maximum(norm_b, 1e-300)
+        )
+
+    carry = (
+        x0, r1, r1, y, jnp.asarray(0.0, dt), beta1, jnp.asarray(0.0, dt),
+        jnp.asarray(0.0, dt), beta1, jnp.asarray(-1.0, dt),
+        jnp.asarray(0.0, dt), z, z, jnp.asarray(0, jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, carry)
+    return out[0]
+
+
+_KRYLOV = {"cg": cg, "gmres": gmres, "minres": minres}
+
+
+# ---------------------------------------------------------------------------
+# Newton
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class NewtonOptions:
+    abs_tol: float = 1e-12
+    rel_tol: float = 0.0
+    max_iter: int = 100
+    damping: float = 1.0  # MFEM's c scaling factor (default 1)
+    # linear solver: "dense" | "cg" | "minres" | "gmres" | callable
+    lin_solver: object = "cg"
+    lin_tol: float = 1e-12
+    lin_maxiter: int = 2000
+    preconditioner: object = None  # None | "jacobi" | callable(form,state)->M
+    verbose: bool = False
+
+
+@dataclass
+class NewtonResult:
+    x: object
+    converged: bool
+    iterations: int
+    final_norm: float
+    history: list = field(default_factory=list)
+
+
+def _make_precond(form, state, spec):
+    if spec is None:
+        return None
+    if spec == "jacobi":
+        d = form.grad_diag(state)
+        safe = jnp.where(jnp.abs(d) < 1e-300, 1.0, d)
+        return lambda x: x / safe
+    if callable(spec):
+        return spec(form, state)
+    raise ValueError(f"unknown preconditioner {spec!r}")
+
+
+def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
+    """MFEM-NewtonSolver-style damped Newton on ``form.mult(x) = b``.
+
+    Host-side outer loop (like the reference's NewtonSolver::Mult); each
+    residual/Jacobian/Krylov evaluation is a jit-compiled TPU program.
+    """
+    opts = opts or NewtonOptions()
+    fields = fields or {}
+    x = jnp.asarray(x0)
+    if b is None:
+        b = jnp.zeros_like(x)
+    else:
+        b = jnp.asarray(b, dtype=x.dtype)
+
+    hist = []
+    norm0 = None
+    it = 0
+    converged = False
+    norm = np.inf
+    for it in range(opts.max_iter + 1):
+        r = form.mult(x, fields) - b
+        r = jnp.where(form.ess_mask, 0.0, r)
+        norm = float(jnp.linalg.norm(r))
+        hist.append(norm)
+        if norm0 is None:
+            norm0 = norm
+        if opts.verbose:
+            print(f"  newton it {it:3d}: ||r|| = {norm:.6e}")
+        if norm <= max(opts.rel_tol * norm0, opts.abs_tol):
+            converged = True
+            break
+        if it == opts.max_iter:
+            break
+        state = form.grad_state(x, fields)
+        if opts.lin_solver == "dense":
+            A = form.assemble_dense(state)
+            c = jnp.asarray(np.linalg.solve(A, np.asarray(r)))
+        elif callable(opts.lin_solver):
+            c = opts.lin_solver(form, state, r)
+        else:
+            mv = partial(form.grad_mult, state)
+            M = _make_precond(form, state, opts.preconditioner)
+            solve = _KRYLOV[opts.lin_solver]
+            c = solve(
+                mv, r, M=M, tol=opts.lin_tol, maxiter=opts.lin_maxiter
+            )
+        x = x - opts.damping * c
+
+    return NewtonResult(
+        x=x,
+        converged=converged,
+        iterations=it,
+        final_norm=norm,
+        history=hist,
+    )
