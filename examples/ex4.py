@@ -1,0 +1,57 @@
+"""Example 4: AD Obstacle Problem with PG (LVPP) — reference ex4.cpp.
+
+Obstacle problem 0 <= u <= 0.5 via the FermiDirac mirror map on mixed
+H1(p+1) x L2(p-1) spaces; outer PG loop with the alpha schedule flags of
+ex4.cpp:52-72 and the lambda-increment stopping rule (ex4.cpp:203-218).
+
+Reference smoke invocation (test.sh:9): -rule 2 -a0 0.1 -ar 2
+"""
+
+import argparse
+
+import numpy as np
+
+from mfem_ad_tpu.models import obstacle
+from mfem_ad_tpu.utils.viz import maybe_export
+
+
+def main():
+    ap = argparse.ArgumentParser(description="LVPP obstacle (reference ex4)")
+    ap.add_argument("-o", "--order", type=int, default=2)
+    ap.add_argument("-r", "--ref", type=int, default=3)
+    ap.add_argument("-rule", "--rule", type=int, default=0,
+                    help="0=CONSTANT 1=POLY 2=EXP 3=DOUBLE_EXP")
+    ap.add_argument("-ma", "--max-alpha", type=float, default=1e4)
+    ap.add_argument("-a0", "--alpha0", type=float, default=1.0)
+    ap.add_argument("-ar", "--alpha-ratio", type=float, default=1.0)
+    ap.add_argument("-ar2", "--alpha-ratio2", type=float, default=1.0)
+    ap.add_argument("--solver", default="dense",
+                    choices=["dense", "minres", "gmres"])
+    ap.add_argument("-pv", "--paraview", action="store_true")
+    args = ap.parse_args()
+
+    res, pb = obstacle.solve(
+        order=args.order,
+        ref_levels=args.ref,
+        rule_type=args.rule,
+        alpha0=args.alpha0,
+        max_alpha=args.max_alpha,
+        ratio=args.alpha_ratio,
+        ratio2=args.alpha_ratio2,
+        lin_solver=args.solver,
+        verbose=True,
+    )
+    u = np.asarray(res.x[: pb.primal_space.ndof])
+    print(
+        f"PG {'converged' if res.converged else 'stopped'} in "
+        f"{res.iterations} iterations, final lambda diff {res.lambda_diff:.3e}"
+    )
+    print(f"u range: [{u.min():.6f}, {u.max():.6f}] (bounds [0, 0.5])")
+    maybe_export(
+        args.paraview, "ad-obstacle", pb.primal_space,
+        {"x": res.x[: pb.primal_space.ndof]},
+    )
+
+
+if __name__ == "__main__":
+    main()

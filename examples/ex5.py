@@ -1,0 +1,53 @@
+"""Example 5: gradient-constrained obstacle via LVPP — reference ex5.cpp.
+
+||grad u|| <= 0.1 + 0.2x + 0.4y via the Hellinger mirror map on
+H1(p) x H1(p-1)^dim triangle-mesh spaces; lambda tolerance 1e-8
+(ex5.cpp:198)."""
+
+import argparse
+
+import numpy as np
+
+from mfem_ad_tpu.models import gradient_obstacle
+from mfem_ad_tpu.utils.viz import maybe_export
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        description="LVPP gradient obstacle (reference ex5)"
+    )
+    ap.add_argument("-o", "--order", type=int, default=2)
+    ap.add_argument("-r", "--ref", type=int, default=3)
+    ap.add_argument("-rule", "--rule", type=int, default=0)
+    ap.add_argument("-ma", "--max-alpha", type=float, default=1e6)
+    ap.add_argument("-a0", "--alpha0", type=float, default=1.0)
+    ap.add_argument("-ar", "--alpha-ratio", type=float, default=1.0)
+    ap.add_argument("-ar2", "--alpha-ratio2", type=float, default=1.0)
+    ap.add_argument("--solver", default="dense",
+                    choices=["dense", "minres", "gmres"])
+    ap.add_argument("-pv", "--paraview", action="store_true")
+    args = ap.parse_args()
+
+    res, pb = gradient_obstacle.solve(
+        order=args.order,
+        ref_levels=args.ref,
+        rule_type=args.rule,
+        alpha0=args.alpha0,
+        max_alpha=args.max_alpha,
+        ratio=args.alpha_ratio,
+        ratio2=args.alpha_ratio2,
+        lin_solver=args.solver,
+        verbose=True,
+    )
+    print(
+        f"PG {'converged' if res.converged else 'stopped'} in "
+        f"{res.iterations} iterations, final lambda diff {res.lambda_diff:.3e}"
+    )
+    maybe_export(
+        args.paraview, "ad-grad-obstacle", pb.primal_space,
+        {"x": res.x[: pb.primal_space.ndof]},
+    )
+
+
+if __name__ == "__main__":
+    main()

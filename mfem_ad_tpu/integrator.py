@@ -22,6 +22,10 @@ The per-qp Hessian tensor ``Hq = w * d2f/dx2 [ne, nq, n, n]`` is the
 "assembled state" of a Newton iterate: computing it once and applying
 ``v -> scatter(B (Hq (B^T v)))`` is partial assembly — the TPU-idiomatic
 replacement for assembling a global sparse matrix.
+
+All compute methods take the array bundle ``tables`` explicitly (defaulting
+to ``self.tables``) so ``parallel.ShardedForm`` can shard the element axis
+across a device mesh with ``shard_map`` and reduce with ``psum``.
 """
 
 from __future__ import annotations
@@ -32,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from .ad import ADFunction
-from .adeval import ADEval, build_B, input_width, shapedim
+from .adeval import ADEval, build_B, shapedim
 from .coefficients import (
     Coefficient,
     GridFunctionCoefficient,
@@ -65,6 +69,13 @@ class ADBlockIntegrator:
         modes: list of ADEval, one per space.
         ir_order: quadrature order (default 2*max(p)+2, _ad_intg.hpp:104).
         dtype: computation dtype for the tabulated tensors.
+
+    Array state lives in ``self.tables`` (a pytree):
+        B:      tuple of [ne, nq, nd_s, sd_s]
+        w:      [ne, nq]
+        edof:   tuple of [ne, nd_s] int32
+        static: dict name -> [ne, nq, k]      (static coefficient values)
+        field:  dict name -> field-eval arrays (gf: (edof, phi))
     """
 
     def __init__(
@@ -96,11 +107,12 @@ class ADBlockIntegrator:
         dtype = dtype or jnp.zeros(0).dtype  # respects jax_enable_x64
         self.dtype = dtype
 
-        self.ne = mesh.num_elements
         self.nq = self.ir.npoints
         sdim = mesh.dim
         self.sd = [shapedim(m, sdim) for m in modes]
         self.vdim = [s.vdim for s in spaces]
+        self.nd = [s.nd for s in spaces]
+        self.nds = [s.ndof_scalar for s in spaces]
         self.widths = [sd * v for sd, v in zip(self.sd, self.vdim)]
         self.x_off = np.concatenate([[0], np.cumsum(self.widths)])
         self.n_input = int(self.x_off[-1])
@@ -113,167 +125,224 @@ class ADBlockIntegrator:
             if s.vdim > 1 and not (m & ADEval.VECTOR):
                 raise ValueError("vdim > 1 requires ADEval.VECTOR")
 
-        self.B = [
+        B = tuple(
             jnp.asarray(build_B(s, m, self.ir, gf), dtype=dtype)
             for s, m in zip(spaces, modes)
-        ]
-        self.w = jnp.asarray(gf.w, dtype=dtype)
-        self.edof = [jnp.asarray(s.edof, dtype=jnp.int32) for s in spaces]
+        )
+        w = jnp.asarray(gf.w, dtype=dtype)
+        edof = tuple(jnp.asarray(s.edof, dtype=jnp.int32) for s in spaces)
 
         # ---- parameters: static (tabulated now) vs field-backed (traced)
-        self.static_params: dict[str, jnp.ndarray] = {}
-        self.field_params: dict[str, tuple] = {}
+        static: dict[str, jnp.ndarray] = {}
+        fieldtab: dict[str, tuple] = {}
+        self.field_kinds: dict[str, tuple] = {}
         ctx = _StaticCtx(self.xq_np)
         for name, coeff in f.params.items():
-            self._register_param(name, coeff, ctx)
+            if isinstance(coeff, GridFunctionCoefficient):
+                sp = coeff.space
+                if sp.mesh is not self.mesh:
+                    raise ValueError(
+                        f"field {name!r} lives on a different mesh"
+                    )
+                phi = jnp.asarray(
+                    sp.elem.eval(self.ir.points), dtype=self.dtype
+                )
+                fieldtab[name] = (
+                    jnp.asarray(sp.edof, dtype=jnp.int32),
+                    phi,
+                )
+                self.field_kinds[name] = ("gf", sp.vdim, sp.ndof_scalar)
+            elif isinstance(coeff, ScalarFieldCoefficient):
+                self.field_kinds[name] = ("scalar", coeff.size)
+            else:
+                vals = np.asarray(coeff.eval_qp(ctx))
+                static[name] = jnp.asarray(vals, dtype=self.dtype)
 
-    def _register_param(self, name: str, coeff: Coefficient, ctx):
-        if isinstance(coeff, GridFunctionCoefficient):
-            sp = coeff.space
-            if sp.mesh is not self.mesh:
-                raise ValueError(f"field {name!r} lives on a different mesh")
-            phi = jnp.asarray(sp.elem.eval(self.ir.points), dtype=self.dtype)
-            self.field_params[name] = (
-                "gf",
-                jnp.asarray(sp.edof, dtype=jnp.int32),
-                phi,
-                sp.vdim,
-                sp.ndof_scalar,
-            )
-        elif isinstance(coeff, ScalarFieldCoefficient):
-            self.field_params[name] = ("scalar", coeff.size)
-        else:
-            vals = np.asarray(coeff.eval_qp(ctx))
-            self.static_params[name] = jnp.asarray(vals, dtype=self.dtype)
+        self.tables = {
+            "B": B,
+            "w": w,
+            "edof": edof,
+            "static": static,
+            "field": fieldtab,
+        }
 
     # ------------------------------------------------------------------
-    def eval_params(self, fields: dict) -> dict:
-        p = dict(self.static_params)
-        for name, spec in self.field_params.items():
+    # core compute (pure in `tables`; safe to call inside shard_map)
+    # ------------------------------------------------------------------
+    def eval_params(self, fields: dict, tables=None) -> dict:
+        t = tables or self.tables
+        ne, nq = t["w"].shape
+        p = dict(t["static"])
+        for name, kind in self.field_kinds.items():
             if name not in fields:
                 raise KeyError(
                     f"assembly requires field {name!r}; got {list(fields)}"
                 )
-            if spec[0] == "gf":
-                _, edof, phi, vdim, nsc = spec
+            if kind[0] == "gf":
+                _, vdim, nsc = kind
+                edof, phi = t["field"][name]
                 u = jnp.asarray(fields[name], dtype=self.dtype)
                 idx = edof[:, :, None] + jnp.arange(vdim) * nsc
                 ue = u[idx]  # [ne, nd, vdim]
                 p[name] = jnp.einsum("qd,edv->eqv", phi, ue)
             else:
-                _, size = spec
+                _, size = kind
                 v = jnp.atleast_1d(jnp.asarray(fields[name], dtype=self.dtype))
-                p[name] = jnp.broadcast_to(v, (self.ne, self.nq, size))
+                p[name] = jnp.broadcast_to(v, (ne, nq, size))
         return p
 
-    def gather(self, s: int, u):
+    def gather(self, s: int, u, tables=None):
         """Element dofs of block s: [ne, nd, vdim] (byNODES layout)."""
-        sp = self.spaces[s]
-        idx = self.edof[s][:, :, None] + jnp.arange(sp.vdim) * sp.ndof_scalar
+        t = tables or self.tables
+        idx = t["edof"][s][:, :, None] + jnp.arange(self.vdim[s]) * self.nds[s]
         return jnp.asarray(u, dtype=self.dtype)[idx]
 
-    def scatter(self, s: int, re):
+    def scatter(self, s: int, re, tables=None):
         """Scatter-add element values [ne, nd, vdim] into block-s dofs."""
-        sp = self.spaces[s]
-        idx = self.edof[s][:, :, None] + jnp.arange(sp.vdim) * sp.ndof_scalar
-        out = jnp.zeros(sp.ndof, dtype=re.dtype)
+        t = tables or self.tables
+        idx = t["edof"][s][:, :, None] + jnp.arange(self.vdim[s]) * self.nds[s]
+        out = jnp.zeros(self.spaces[s].ndof, dtype=re.dtype)
         return out.at[idx].add(re)
 
-    def x_qp(self, ublocks) -> jnp.ndarray:
+    def x_qp(self, ublocks, tables=None) -> jnp.ndarray:
         """Stacked per-qp input x [ne, nq, n_input] (x = B^T u per space,
         component-major within a space — ad_intg.hpp:242,:304)."""
+        t = tables or self.tables
+        ne, nq = t["w"].shape
         xs = []
         for s in range(len(self.spaces)):
-            ue = self.gather(s, ublocks[s])
-            x = jnp.einsum("eqds,edv->eqvs", self.B[s], ue)
-            xs.append(x.reshape(self.ne, self.nq, self.widths[s]))
+            ue = self.gather(s, ublocks[s], t)
+            x = jnp.einsum("eqds,edv->eqvs", t["B"][s], ue)
+            xs.append(x.reshape(ne, nq, self.widths[s]))
         return jnp.concatenate(xs, axis=-1)
 
     def spread(self, g, s: int):
         """Slice the per-qp segment of space s: [ne, nq, vdim, sd]."""
         seg = g[..., self.x_off[s] : self.x_off[s + 1]]
-        return seg.reshape(self.ne, self.nq, self.vdim[s], self.sd[s])
+        return seg.reshape(g.shape[0], g.shape[1], self.vdim[s], self.sd[s])
 
     # ------------------------------------------------------------------
-    def energy(self, ublocks, fields=None):
-        x = self.x_qp(ublocks)
-        p = self.eval_params(fields or {})
+    def energy(self, ublocks, fields=None, tables=None):
+        t = tables or self.tables
+        x = self.x_qp(ublocks, t)
+        p = self.eval_params(fields or {}, t)
         vals = qpmap(self.f.energy)(x, p)
-        return jnp.sum(vals * self.w)
+        return jnp.sum(vals * t["w"])
 
-    def residual(self, ublocks, fields=None):
+    def residual(self, ublocks, fields=None, tables=None):
         """Per-block residual vectors: r_s = scatter(B_s (grad f) w)."""
-        x = self.x_qp(ublocks)
-        p = self.eval_params(fields or {})
-        g = qpmap(jax.grad(self.f.energy))(x, p) * self.w[..., None]
-        return [
-            self.scatter(s, jnp.einsum("eqds,eqvs->edv", self.B[s], self.spread(g, s)))
-            for s in range(len(self.spaces))
-        ]
-
-    def hess_state(self, ublocks, fields=None):
-        """Per-qp weighted Hessian Hq [ne, nq, n, n] — the Newton state."""
-        x = self.x_qp(ublocks)
-        p = self.eval_params(fields or {})
-        H = qpmap(jax.jacfwd(jax.grad(self.f.energy)))(x, p)
-        return H * self.w[..., None, None]
-
-    def hess_mult(self, Hq, vblocks):
-        """Matrix-free J v: scatter(B (Hq (B^T v)))."""
-        xv = self.x_qp(vblocks)
-        Hxv = jnp.einsum("eqnm,eqm->eqn", Hq, xv)
+        t = tables or self.tables
+        x = self.x_qp(ublocks, t)
+        p = self.eval_params(fields or {}, t)
+        g = qpmap(jax.grad(self.f.energy))(x, p) * t["w"][..., None]
         return [
             self.scatter(
-                s, jnp.einsum("eqds,eqvs->edv", self.B[s], self.spread(Hxv, s))
+                s, jnp.einsum("eqds,eqvs->edv", t["B"][s], self.spread(g, s)), t
             )
             for s in range(len(self.spaces))
         ]
 
-    def diagonal(self, Hq):
+    def hess_state(self, ublocks, fields=None, tables=None):
+        """Per-qp weighted Hessian Hq [ne, nq, n, n] — the Newton state."""
+        t = tables or self.tables
+        x = self.x_qp(ublocks, t)
+        p = self.eval_params(fields or {}, t)
+        H = qpmap(jax.jacfwd(jax.grad(self.f.energy)))(x, p)
+        return H * t["w"][..., None, None]
+
+    def hess_mult(self, Hq, vblocks, tables=None):
+        """Matrix-free J v: scatter(B (Hq (B^T v)))."""
+        t = tables or self.tables
+        xv = self.x_qp(vblocks, t)
+        Hxv = jnp.einsum("eqnm,eqm->eqn", Hq, xv)
+        return [
+            self.scatter(
+                s,
+                jnp.einsum("eqds,eqvs->edv", t["B"][s], self.spread(Hxv, s)),
+                t,
+            )
+            for s in range(len(self.spaces))
+        ]
+
+    def diagonal(self, Hq, tables=None):
         """Per-block diagonal of the assembled Jacobian (for Jacobi PC)."""
+        t = tables or self.tables
+        ne, nq = t["w"].shape
         out = []
         for s in range(len(self.spaces)):
             o = self.x_off[s]
             blk = Hq[..., o : o + self.widths[s], o : o + self.widths[s]]
             H6 = blk.reshape(
-                self.ne, self.nq, self.vdim[s], self.sd[s], self.vdim[s], self.sd[s]
+                ne, nq, self.vdim[s], self.sd[s], self.vdim[s], self.sd[s]
             )
             Hvv = jnp.diagonal(H6, axis1=2, axis2=4)  # [ne,nq,sd,sd,vdim]
-            D = jnp.einsum(
-                "eqds,eqstv,eqdt->edv", self.B[s], Hvv, self.B[s]
-            )
-            out.append(self.scatter(s, D))
+            D = jnp.einsum("eqds,eqstv,eqdt->edv", t["B"][s], Hvv, t["B"][s])
+            out.append(self.scatter(s, D, t))
         return out
 
-    def element_matrices(self, Hq, s: int, t: int):
-        """Dense element blocks A_e[(v,d),(w,k)] for pair (test s, trial t).
+    def element_matrices(self, Hq, s: int, t_: int, tables=None):
+        """Dense element blocks A_e[(v,d),(w,k)] for pair (test s, trial t_).
 
         Matches the reference's block slicing + MyAddMultABt accumulation
         (ad_intg.hpp:700-727); byNODES flat layout (v*nd + d).
         """
-        os_, ot = self.x_off[s], self.x_off[t]
-        blk = Hq[..., os_ : os_ + self.widths[s], ot : ot + self.widths[t]]
+        t = tables or self.tables
+        ne, nq = t["w"].shape
+        os_, ot = self.x_off[s], self.x_off[t_]
+        blk = Hq[..., os_ : os_ + self.widths[s], ot : ot + self.widths[t_]]
         H6 = blk.reshape(
-            self.ne, self.nq, self.vdim[s], self.sd[s], self.vdim[t], self.sd[t]
+            ne, nq, self.vdim[s], self.sd[s], self.vdim[t_], self.sd[t_]
         )
-        A = jnp.einsum("eqds,eqvswt,eqkt->evdwk", self.B[s], H6, self.B[t])
-        nds = self.spaces[s].nd
-        ndt = self.spaces[t].nd
-        return A.reshape(self.ne, self.vdim[s] * nds, self.vdim[t] * ndt)
+        A = jnp.einsum("eqds,eqvswt,eqkt->evdwk", t["B"][s], H6, t["B"][t_])
+        return A.reshape(
+            ne, self.vdim[s] * self.nd[s], self.vdim[t_] * self.nd[t_]
+        )
 
-    def assemble_dense_block(self, Hq, s: int, t: int) -> np.ndarray:
+    def assemble_dense_block(self, Hq, s: int, t_: int) -> np.ndarray:
         """Assembled dense [N_s, N_t] block (small problems / tests)."""
-        Ae = np.asarray(self.element_matrices(Hq, s, t))
-        sp_s, sp_t = self.spaces[s], self.spaces[t]
-        idx_s = np.asarray(self.edof[s])[:, :, None] + np.arange(
+        Ae = np.asarray(self.element_matrices(Hq, s, t_))
+        sp_s, sp_t = self.spaces[s], self.spaces[t_]
+        idx_s = np.asarray(self.tables["edof"][s])[:, :, None] + np.arange(
             sp_s.vdim
         ) * sp_s.ndof_scalar  # [ne, nd, vdim]
-        idx_t = np.asarray(self.edof[t])[:, :, None] + np.arange(
+        idx_t = np.asarray(self.tables["edof"][t_])[:, :, None] + np.arange(
             sp_t.vdim
         ) * sp_t.ndof_scalar
         # byNODES element layout: flat (v, d) = v*nd + d
-        gi = np.transpose(idx_s, (0, 2, 1)).reshape(self.ne, -1)
-        gj = np.transpose(idx_t, (0, 2, 1)).reshape(self.ne, -1)
+        ne = Ae.shape[0]
+        gi = np.transpose(idx_s, (0, 2, 1)).reshape(ne, -1)
+        gj = np.transpose(idx_t, (0, 2, 1)).reshape(ne, -1)
         A = np.zeros((sp_s.ndof, sp_t.ndof))
         np.add.at(A, (gi[:, :, None], gj[:, None, :]), Ae)
         return A
+
+    # ------------------------------------------------------------------
+    def padded_tables(self, n_shards: int):
+        """Copy-pad the element axis to a multiple of ``n_shards``.
+
+        Padded elements replicate element 0 with zero quadrature weight, so
+        every contribution vanishes while the energy evaluation stays in the
+        function's domain (no NaN from out-of-domain zero inputs).
+        """
+        t = self.tables
+        ne = t["w"].shape[0]
+        pad = (-ne) % n_shards
+        if pad == 0:
+            return t
+
+        def padel(a):
+            rep = jnp.repeat(a[:1], pad, axis=0)
+            return jnp.concatenate([a, rep], axis=0)
+
+        w = jnp.concatenate(
+            [t["w"], jnp.zeros((pad, t["w"].shape[1]), t["w"].dtype)], axis=0
+        )
+        return {
+            "B": tuple(padel(b) for b in t["B"]),
+            "w": w,
+            "edof": tuple(padel(e) for e in t["edof"]),
+            "static": {k: padel(v) for k, v in t["static"].items()},
+            "field": {
+                k: (padel(ed), phi) for k, (ed, phi) in t["field"].items()
+            },
+        }

@@ -1,0 +1,221 @@
+"""ShardedForm: run a BlockNonlinearForm's assembly across a device mesh.
+
+Parallel model (cf. reference §2.8: one strategy — mesh partitioning over
+MPI):
+
+- the **element axis** of every tabulated tensor (B, w, edof, per-qp
+  parameters) is sharded over a 1-D ``jax.sharding.Mesh`` axis; elements
+  are copy-padded with zero weights to a multiple of the device count;
+- **dof vectors are replicated**; each device scatter-adds its elements'
+  contributions into a full-length local vector and a single ``psum``
+  completes assembly — this is the hypre ``ParallelAssemble`` (local->true
+  reduction, ex4.cpp:119-120) realized as one ICI collective;
+- Newton norms need no extra collective (vectors are replicated), matching
+  the reference's allreduce-inside-NewtonSolver semantics.
+
+``ShardedForm`` quacks like ``forms.BlockNonlinearForm``, so ``newton`` and
+``PGSolver`` run unchanged on multi-device meshes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.7 stable API
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _sm
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+def _table_specs(tables, axis: str):
+    """PartitionSpec pytree matching an integrator's tables bundle."""
+    return {
+        "B": tuple(P(axis) for _ in tables["B"]),
+        "w": P(axis),
+        "edof": tuple(P(axis) for _ in tables["edof"]),
+        "static": {k: P(axis) for k in tables["static"]},
+        "field": {k: (P(axis), P()) for k in tables["field"]},
+    }
+
+
+class ShardedForm:
+    """Element-sharded view of a BlockNonlinearForm.
+
+    Args:
+        form: a built BlockNonlinearForm (serial tables are kept for the
+              dense/direct fallback).
+        devices: device list (default all of ``jax.devices()``).
+        axis_name: mesh axis name for the element shard.
+    """
+
+    def __init__(self, form, devices=None, axis_name: str = "elems"):
+        self.form = form
+        devices = list(devices if devices is not None else jax.devices())
+        self.n_devices = len(devices)
+        self.axis_name = axis_name
+        self.mesh = Mesh(np.array(devices), (axis_name,))
+        self.tables = [
+            intg.padded_tables(self.n_devices) for intg in form.integrators
+        ]
+        self.specs = [_table_specs(t, axis_name) for t in self.tables]
+        # place the tables on the device mesh (manual walk: PartitionSpec is
+        # tuple-like, so jax.tree.map would descend into it)
+        self.tables = [
+            self._place(t, sp) for t, sp in zip(self.tables, self.specs)
+        ]
+        self._jit_cache: dict[str, object] = {}
+
+    def _place(self, t, sp):
+        if isinstance(sp, P):
+            return jax.device_put(t, NamedSharding(self.mesh, sp))
+        if isinstance(t, dict):
+            return {k: self._place(t[k], sp[k]) for k in t}
+        return tuple(self._place(a, b) for a, b in zip(t, sp))
+
+    # -- mirror the BlockNonlinearForm interface -------------------------
+    @property
+    def spaces(self):
+        return self.form.spaces
+
+    @property
+    def offsets(self):
+        return self.form.offsets
+
+    @property
+    def ndof(self):
+        return self.form.ndof
+
+    @property
+    def ess_mask(self):
+        return self.form.ess_mask
+
+    def split(self, u):
+        return self.form.split(u)
+
+    def _jit(self, key, fn):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    # --------------------------------------------------------------------
+    # Raw methods share the BlockNonlinearForm protocol (tables/ess passed
+    # explicitly) so newton's fused step runs unchanged on either form.
+    def _tables(self):
+        return tuple(self.tables)
+
+    def _state_specs(self):
+        return tuple(P(self.axis_name) for _ in self.tables)
+
+    def energy_raw(self, tables, u, fields):
+        def local(tables, u, fields):
+            e = sum(
+                intg.energy(self.form.split(u), fields, t)
+                for intg, t in zip(self.form.integrators, tables)
+            )
+            return jax.lax.psum(e, self.axis_name)
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(tuple(self.specs), P(), P()), out_specs=P(),
+        )(tables, u, fields)
+
+    def mult_raw(self, tables, ess, u, fields):
+        def local(tables, u, fields):
+            acc = jnp.zeros(self.form.ndof, dtype=u.dtype)
+            for intg, t in zip(self.form.integrators, tables):
+                rs = intg.residual(self.form.split(u), fields, t)
+                acc = acc + jnp.concatenate(rs)
+            return jax.lax.psum(acc, self.axis_name)
+
+        r = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(tuple(self.specs), P(), P()), out_specs=P(),
+        )(tables, u, fields)
+        return jnp.where(ess, 0.0, r)
+
+    def grad_state_raw(self, tables, u, fields):
+        """Per-integrator per-qp Hessians, left sharded over elements."""
+
+        def local(tables, u, fields):
+            return tuple(
+                intg.hess_state(self.form.split(u), fields, t)
+                for intg, t in zip(self.form.integrators, tables)
+            )
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(tuple(self.specs), P(), P()),
+            out_specs=self._state_specs(),
+        )(tables, u, fields)
+
+    def grad_mult_raw(self, tables, ess, state, v):
+        def local(tables, ess, state, v):
+            acc = jnp.zeros(self.form.ndof, dtype=v.dtype)
+            v0 = jnp.where(ess, 0.0, v)
+            blocks = self.form.split(v0)
+            for intg, t, Hq in zip(self.form.integrators, tables, state):
+                ys = intg.hess_mult(Hq, blocks, t)
+                acc = acc + jnp.concatenate(ys)
+            return jax.lax.psum(acc, self.axis_name)
+
+        y = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(tuple(self.specs), P(), self._state_specs(), P()),
+            out_specs=P(),
+        )(tables, ess, state, v)
+        return jnp.where(ess, v, y)
+
+    def grad_diag_raw(self, tables, ess, state):
+        def local(tables, state):
+            acc = jnp.zeros(self.form.ndof)
+            for intg, t, Hq in zip(self.form.integrators, tables, state):
+                ds = intg.diagonal(Hq, t)
+                acc = acc + jnp.concatenate(ds)
+            return jax.lax.psum(acc, self.axis_name)
+
+        d = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(tuple(self.specs), self._state_specs()),
+            out_specs=P(),
+        )(tables, state)
+        return jnp.where(ess, 1.0, d)
+
+    # -- public jitted wrappers ------------------------------------------
+    def energy(self, u, fields=None):
+        fn = self._jit("energy", self.energy_raw)
+        return fn(self._tables(), u, fields or {})
+
+    def mult(self, u, fields=None):
+        fn = self._jit("mult", self.mult_raw)
+        return fn(self._tables(), self.ess_mask, u, fields or {})
+
+    def grad_state(self, u, fields=None):
+        fn = self._jit("grad_state", self.grad_state_raw)
+        return fn(self._tables(), u, fields or {})
+
+    def grad_mult(self, state, v):
+        fn = self._jit("grad_mult", self.grad_mult_raw)
+        return fn(self._tables(), self.ess_mask, state, v)
+
+    def grad_diag(self, state):
+        fn = self._jit("grad_diag", self.grad_diag_raw)
+        return fn(self._tables(), self.ess_mask, state)
+
+    def assemble_dense(self, state):
+        """Direct-solver fallback: gather state and use the serial path."""
+        serial_state = [
+            np.asarray(Hq)[: intg.tables["w"].shape[0]]
+            for intg, Hq in zip(self.form.integrators, state)
+        ]
+        return self.form.assemble_dense(serial_state)

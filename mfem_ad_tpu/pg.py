@@ -156,8 +156,8 @@ class ADPGFunctional(ADFunction):
     def __init__(self, f: ADFunction, entropies, latent_spaces, primal_idx=None):
         if isinstance(entropies, ADEntropy):
             entropies = [entropies]
-        if isinstance(latent_spaces, FESpace):
-            latent_spaces = [latent_spaces]
+        if latent_spaces is None or isinstance(latent_spaces, FESpace):
+            latent_spaces = [latent_spaces] * len(entropies)
         sizes = [e.n_input for e in entropies]
         super().__init__(f.n_input + sum(sizes))
         self.f = f

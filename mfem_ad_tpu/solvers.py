@@ -153,12 +153,42 @@ def _make_precond(form, state, spec):
     if spec is None:
         return None
     if spec == "jacobi":
-        d = form.grad_diag(state)
-        safe = jnp.where(jnp.abs(d) < 1e-300, 1.0, d)
+        # |diag| keeps the preconditioner SPD on indefinite (saddle)
+        # systems so it is valid for MINRES as well as CG
+        d = jnp.abs(form.grad_diag(state))
+        safe = jnp.where(d < 1e-300, 1.0, d)
         return lambda x: x / safe
     if callable(spec):
         return spec(form, state)
     raise ValueError(f"unknown preconditioner {spec!r}")
+
+
+def _fused_newton_step(form, opts: "NewtonOptions"):
+    """One Newton update (residual + Jacobian state + preconditioned Krylov
+    solve + update) as a single jitted program with the form's tabulated
+    tensors passed as arguments (closed-over tables become XLA constants,
+    which wrecks compile time on TPU).  Cached on the form per option set."""
+    key = (
+        "newton_step", opts.lin_solver, opts.lin_tol, opts.lin_maxiter,
+        opts.preconditioner, opts.damping,
+    )
+
+    def step(tables, ess, x, b, fields):
+        r = form.mult_raw(tables, ess, x, fields) - b
+        r = jnp.where(ess, 0.0, r)
+        state = form.grad_state_raw(tables, x, fields)
+        mv = lambda v: form.grad_mult_raw(tables, ess, state, v)  # noqa: E731
+        M = None
+        if opts.preconditioner == "jacobi":
+            d = jnp.abs(form.grad_diag_raw(tables, ess, state))
+            safe = jnp.where(d < 1e-300, 1.0, d)
+            M = lambda v: v / safe  # noqa: E731
+        c = _KRYLOV[opts.lin_solver](
+            mv, r, M=M, tol=opts.lin_tol, maxiter=opts.lin_maxiter
+        )
+        return x - opts.damping * c
+
+    return form._jit(key, step)
 
 
 def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
@@ -174,6 +204,13 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
         b = jnp.zeros_like(x)
     else:
         b = jnp.asarray(b, dtype=x.dtype)
+
+    fused = (
+        isinstance(opts.lin_solver, str)
+        and opts.lin_solver in _KRYLOV
+        and opts.preconditioner in (None, "jacobi")
+    )
+    step = _fused_newton_step(form, opts) if fused else None
 
     hist = []
     norm0 = None
@@ -194,6 +231,9 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
             break
         if it == opts.max_iter:
             break
+        if fused:
+            x = step(form._tables(), form.ess_mask, x, b, fields)
+            continue
         state = form.grad_state(x, fields)
         if opts.lin_solver == "dense":
             A = form.assemble_dense(state)

@@ -3,11 +3,14 @@
 The 8-device CPU mesh stands in for the reference's ``mpirun -np 8``
 smoke run (reference test.sh:9) — multi-device sharding tests run on it
 exactly as they would on an 8-chip TPU slice.
+
+Note: this environment's sitecustomize force-registers the 'axon' TPU
+platform and overrides JAX_PLATFORMS, so the switch must happen via
+jax.config *after* import (env vars are not honored).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,5 +19,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/mfem_ad_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,94 @@
+"""Multi-device tests on the 8-virtual-CPU mesh — the stand-in for the
+reference's ``mpirun -np 8 ./ex4`` smoke run (test.sh:9)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mfem_ad_tpu.models import obstacle, poisson
+from mfem_ad_tpu.norms import l2_error
+from mfem_ad_tpu.parallel import ShardedForm
+from mfem_ad_tpu.pg import PGSolver, PGStepSizeRule
+from mfem_ad_tpu.solvers import NewtonOptions, newton
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs
+
+
+def test_sharded_assembly_matches_serial(eight_devices):
+    pb = poisson.build(order=2, ref_levels=0)
+    sf = ShardedForm(pb.form)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(pb.form.ndof))
+    assert np.allclose(
+        np.asarray(pb.form.mult(u)), np.asarray(sf.mult(u)), atol=1e-12
+    )
+    st_s = pb.form.grad_state(u)
+    st_p = sf.grad_state(u)
+    v = jnp.asarray(rng.standard_normal(pb.form.ndof))
+    assert np.allclose(
+        np.asarray(pb.form.grad_mult(st_s, v)),
+        np.asarray(sf.grad_mult(st_p, v)),
+        atol=1e-12,
+    )
+    assert np.allclose(
+        np.asarray(pb.form.grad_diag(st_s)),
+        np.asarray(sf.grad_diag(st_p)),
+        atol=1e-12,
+    )
+    assert np.isclose(
+        float(pb.form.energy(u)), float(sf.energy(u)), atol=1e-10
+    )
+
+
+def test_sharded_newton_solve(eight_devices):
+    """Full distributed Newton+CG solve matches the exact solution."""
+    pb = poisson.build(order=2, ref_levels=1)
+    sf = ShardedForm(pb.form)
+    res = newton(
+        sf,
+        jnp.zeros(pb.form.ndof),
+        b=pb.rhs,
+        opts=NewtonOptions(
+            abs_tol=1e-10, max_iter=3, lin_solver="cg", lin_tol=1e-14,
+            preconditioner="jacobi",
+        ),
+    )
+    assert res.converged
+    err = l2_error(pb.space, np.asarray(res.x), poisson.exact_fn)
+    assert err < 2e-5
+
+
+def test_sharded_pg_obstacle(eight_devices):
+    """The ex4 mpirun-equivalent: LVPP obstacle on the device mesh, EXP
+    alpha rule (test.sh:9 flags: -rule 2 -a0 0.1 -ar 2)."""
+    pb = obstacle.build(order=1, ref_levels=0)
+    sf = ShardedForm(pb.form)
+    rule = PGStepSizeRule(PGStepSizeRule.EXP, 0.1, 1e4, 2.0)
+    solver = PGSolver(
+        sf, rule, latent_block=1, latent_space=pb.latent_space,
+        newton_opts=NewtonOptions(
+            abs_tol=1e-9, max_iter=20, lin_solver="minres", lin_tol=1e-13,
+            lin_maxiter=5000, preconditioner="jacobi",
+        ),
+        max_iter=40, tol=1e-8,
+    )
+    res = solver.solve(jnp.zeros(pb.form.ndof), pb.rhs)
+    u = np.asarray(res.x[: pb.primal_space.ndof])
+    assert res.converged
+    # the primal satisfies the bound only weakly — O(h^2) overshoot is
+    # discretization error on this coarse mesh (ref_levels=0)
+    assert u.min() > -1e-6 and u.max() < 0.5 + 1e-2
+    # the mirror map dE*(psi) is pointwise in (0, 0.5) by construction and
+    # must agree with the primal where it matters
+    psi = np.asarray(res.x[pb.primal_space.ndof :])
+    mirror = 0.5 / (1.0 + np.exp(-0.5 * psi))
+    assert mirror.min() >= 0.0 and mirror.max() <= 0.5
+    assert u.max() > 0.49  # constraint active somewhere

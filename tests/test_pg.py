@@ -1,0 +1,225 @@
+"""PG/LVPP layer tests: step rules, entropies, PG functional golden tests,
+obstacle problem regression (the ex4/ex5 equivalents), DofPG, topopt."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mfem_ad_tpu.pg import (
+    ADPGFunctional,
+    FermiDiracEntropy,
+    HellingerEntropy,
+    PGStepSizeRule,
+    ShannonEntropy,
+    SimplexEntropy,
+)
+
+
+def test_step_size_rules():
+    """pg.cpp:4-54 schedules, clamped at max_alpha."""
+    assert PGStepSizeRule(PGStepSizeRule.CONSTANT, 2.0).get(7) == 2.0
+    r = PGStepSizeRule(PGStepSizeRule.POLY, 1.0, 1e6, 2.0)
+    assert np.isclose(r.get(3), 16.0)
+    r = PGStepSizeRule(PGStepSizeRule.EXP, 0.1, 1e4, 2.0)
+    assert np.isclose(r.get(3), 0.8)
+    assert r.get(100) == 1e4  # clamp
+    r = PGStepSizeRule(PGStepSizeRule.DOUBLE_EXP, 1.0, 1e8, 2.0, 2.0)
+    assert np.isclose(r.get(2), 2.0**4)
+
+
+def test_fermi_dirac_stable_and_correct():
+    e = FermiDiracEntropy(0.0, 0.5)
+    p = {"lower": jnp.array([0.0]), "upper": jnp.array([0.5])}
+    # E*(psi) = softplus(0.5 psi); mirror map dE* = 0.5 sigmoid(0.5 psi)
+    for psi in (-800.0, -3.0, 0.0, 3.0, 800.0):
+        x = jnp.array([psi])
+        val = float(e(x, p))
+        grad = float(e.gradient(x, p)[0])
+        hess = float(e.hessian(x, p)[0, 0])
+        assert np.isfinite(val) and np.isfinite(grad) and np.isfinite(hess)
+        sig = 1.0 / (1.0 + np.exp(-0.5 * np.clip(psi, -500, 500)))
+        assert np.isclose(grad, 0.5 * sig, atol=1e-12)
+        assert 0.0 - 1e-12 <= grad <= 0.5 + 1e-12  # mirror map in bounds
+
+
+def test_shannon_entropy():
+    e = ShannonEntropy(1.0, sign=1)
+    p = {"bound": jnp.array([1.0])}
+    x = jnp.array([0.3])
+    assert np.isclose(float(e(x, p)), np.exp(0.3) + 0.3)
+    # mirror map = exp(psi) + bound >= bound (one-sided)
+    assert float(e.gradient(x, p)[0]) > 1.0
+
+
+def test_hellinger_entropy():
+    e = HellingerEntropy(2, 0.7)
+    p = {"bound": jnp.array([0.7])}
+    x = jnp.array([3.0, -4.0])
+    assert np.isclose(float(e(x, p)), np.sqrt(1 + 25 * 0.49))
+    # mirror map norm < bound always (gradient constraint)
+    g = np.asarray(e.gradient(x, p))
+    assert np.linalg.norm(g) < 0.7
+
+
+def test_simplex_entropy_stable():
+    e = SimplexEntropy(3, 1.0)
+    p = {"bound": jnp.array([1.0])}
+    x = jnp.array([1000.0, 999.0, -5.0])  # would overflow naive logsumexp
+    v = float(e(x, p))
+    assert np.isfinite(v)
+    g = np.asarray(e.gradient(x, p))
+    assert np.all(g >= 0) and np.isclose(g.sum(), 1.0)  # softmax simplex
+
+
+def test_pg_functional_value():
+    """Golden check of L = f + (u(psi-psik) - E*)/alpha (pg.hpp:193-213)."""
+    from mfem_ad_tpu.ad import ADFunction
+
+    class F(ADFunction):
+        def energy(self, x, p):
+            return x[0] ** 2 + x[1]
+
+    ent = FermiDiracEntropy(0.0, 1.0)
+    pg = ADPGFunctional(F(2), ent, None)
+    x = jnp.array([2.0, 3.0, 0.7])  # [u0, u1, psi]
+    alpha = 2.5
+    psik = 0.2
+    p = {
+        "alpha": jnp.array([alpha]),
+        "latent_k0": jnp.array([psik]),
+        "entropy0_lower": jnp.array([0.0]),
+        "entropy0_upper": jnp.array([1.0]),
+    }
+    estar = np.log1p(np.exp(0.7))
+    expect = (4.0 + 3.0) + (2.0 * (0.7 - psik) - estar) / alpha
+    assert np.isclose(float(pg(x, p)), expect)
+
+
+@pytest.mark.slow
+def test_obstacle_lvpp_regression():
+    """ex4 equivalent: converges, primal within bounds, matches the
+    unconstrained solution away from the obstacle."""
+    from mfem_ad_tpu.models import obstacle
+
+    res, pb = obstacle.solve(
+        order=1, ref_levels=1,
+        rule_type=PGStepSizeRule.EXP, alpha0=0.1, ratio=2.0,
+        lin_solver="dense", max_pg_iter=40, tol=1e-8,
+    )
+    assert res.converged
+    u = np.asarray(res.x[: pb.primal_space.ndof])
+    assert u.min() > -1e-8
+    # the bound holds weakly; pointwise overshoot is O(h^2) interpolation
+    # error of the saturated mirror map on the contact set
+    assert u.max() < 0.5 + 5e-3
+    # the mirror map dE*(psi) = 0.5 sigmoid(0.5 psi) is in [0, 0.5] exactly
+    psi = np.asarray(res.x[pb.primal_space.ndof :])
+    mirror = 0.5 / (1.0 + np.exp(-0.5 * psi))
+    assert mirror.min() >= 0.0 and mirror.max() <= 0.5
+    # active set: max of unconstrained Poisson solution is 1 > 0.5, so the
+    # constraint must be active somewhere
+    assert u.max() > 0.49
+
+
+@pytest.mark.slow
+def test_gradient_obstacle_lvpp_regression():
+    """ex5 equivalent: Hellinger entropy on H1xH1^d triangle spaces."""
+    from mfem_ad_tpu.models import gradient_obstacle
+    from mfem_ad_tpu.quadrature import get_rule
+    from mfem_ad_tpu.geometry import geom_factors, phys_dshape
+
+    res, pb = gradient_obstacle.solve(
+        order=2, ref_levels=0,
+        rule_type=PGStepSizeRule.EXP, alpha0=1.0, ratio=2.0, max_alpha=1e6,
+        lin_solver="dense", max_pg_iter=60, tol=1e-6,
+    )
+    assert res.converged
+    # check the gradient-norm constraint ||grad u|| <= phi(x).  The primal
+    # satisfies it only weakly (tested against the latent space), so the
+    # check is (a) the integrated violation is at discretization-error level
+    # and (b) the mirror map dE*(psi) satisfies it pointwise by construction.
+    u = np.asarray(res.x[: pb.primal_space.ndof])
+    sp, lsp = pb.primal_space, pb.latent_space
+    ir = get_rule(sp.mesh.geom, 2 * sp.order)
+    gfac = geom_factors(sp.mesh, ir)
+    G = phys_dshape(sp.mesh, ir, sp.order)
+    gu = np.einsum("eqdk,ed->eqk", G, u[np.asarray(sp.edof)])
+    gnorm = np.linalg.norm(gu, axis=-1)
+    from mfem_ad_tpu.models.gradient_obstacle import bound_fn
+
+    bound = np.array([bound_fn(x) for x in gfac.xq.reshape(-1, 2)]).reshape(
+        gnorm.shape
+    )
+    viol_l2 = np.sqrt((np.maximum(gnorm - bound, 0) ** 2 * gfac.w).sum())
+    bound_l2 = np.sqrt((bound**2 * gfac.w).sum())
+    assert viol_l2 / bound_l2 < 0.08  # 0.052 measured at rl=0; halves per rl
+    psi = np.asarray(res.x[sp.ndof :])
+    phi = lsp.elem.eval(ir.points)
+    idx = np.asarray(lsp.edof)[:, :, None] + np.arange(lsp.vdim) * lsp.ndof_scalar
+    psiq = np.einsum("qd,edv->eqv", phi, psi[idx])
+    mnorm = (bound**2) * np.linalg.norm(psiq, axis=-1) / np.sqrt(
+        1 + bound**2 * (psiq**2).sum(-1)
+    )
+    assert (mnorm <= bound * (1 + 1e-9)).all()
+
+
+def test_dof_pg_jacobian_golden():
+    """DofPG block Jacobian vs jacfwd of its residual (dof_pg.hpp)."""
+    from mfem_ad_tpu import mesh as M
+    from mfem_ad_tpu.ad import ADFunction
+    from mfem_ad_tpu.adeval import ADEval
+    from mfem_ad_tpu.dof_pg import DofPGIntegrator
+    from mfem_ad_tpu.fespace import FESpace, L2
+    from mfem_ad_tpu.forms import BlockNonlinearForm
+
+    class Obj(ADFunction):
+        def energy(self, x, p):
+            g = x[1:]
+            return 0.5 * jnp.dot(g, g)
+
+    m = M.make_cartesian_2d(2, 2)
+    h1 = FESpace(m, 2)
+    dual = FESpace(m, 2, L2)  # same nd per element as h1 p=2
+    ent = FermiDiracEntropy(0.0, 0.5)
+    intg = DofPGIntegrator(
+        Obj(3), [h1], [ADEval.VALUE | ADEval.GRAD], [dual], [ent]
+    )
+    form = BlockNonlinearForm([h1, dual])
+    form.add_domain_integrator(intg)
+
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(0.3 * rng.standard_normal(form.ndof))
+    fields = {
+        "alpha": jnp.asarray(0.7),
+        "latent_k0": jnp.asarray(0.1 * rng.standard_normal(dual.ndof)),
+    }
+    J = np.asarray(jax.jacfwd(lambda x: form.mult(x, fields))(u))
+    st = form.grad_state(u, fields)
+    A = form.assemble_dense(st)
+    assert np.allclose(J, A, atol=1e-9)
+    v = jnp.asarray(rng.standard_normal(form.ndof))
+    assert np.allclose(
+        np.asarray(form.grad_mult(st, v)), A @ np.asarray(v), atol=1e-9
+    )
+    # residual is the gradient of the energy (consistency)
+    g = np.asarray(
+        jax.grad(lambda x: form.energy(x, fields))(u)
+    )
+    r = np.asarray(form.mult(u, fields))
+    assert np.allclose(g, r, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_simpl_topopt_decreases_compliance():
+    from mfem_ad_tpu.mmto import SiMPLTopopt, build_cantilever
+
+    form, design, b, m, disp = build_cantilever(nx=12, ny=6)
+    opt = SiMPLTopopt(form, design, b, vol_frac=0.5, step=5.0)
+    res = opt.solve(max_iter=8)
+    c = res.compliance_history
+    assert c[-1] < c[0] * 0.9  # compliance drops
+    assert abs(res.volume_history[-1] - 0.5) < 1e-3  # volume constraint
+    rho = np.asarray(res.rho)
+    assert rho.min() >= -1e-9 and rho.max() <= 1 + 1e-9

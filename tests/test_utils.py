@@ -1,0 +1,78 @@
+"""Utilities: TableLogger, checkpoint round-trip, VTU export, GLVis client."""
+
+import os
+
+import numpy as np
+
+from mfem_ad_tpu import mesh as M
+from mfem_ad_tpu.fespace import FESpace
+from mfem_ad_tpu.utils import (
+    TableLogger,
+    load_checkpoint,
+    save_checkpoint,
+    write_vtu,
+)
+
+
+def test_table_logger(tmp_path, capsys):
+    vals = {"it": 0, "res": 1.0}
+    csv = str(tmp_path / "log.csv")
+    tl = TableLogger().append("it", (vals, "it")).append("res", (vals, "res"))
+    tl.save_when_print(csv)
+    for i in range(3):
+        vals["it"] = i
+        vals["res"] = 10.0 ** (-i)
+        tl.print()
+    tl.close()
+    out = capsys.readouterr().out
+    assert "it" in out and "res" in out
+    lines = open(csv).read().strip().splitlines()
+    assert lines[0] == "it,res"
+    assert len(lines) == 4
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "state")
+    u = np.random.default_rng(0).standard_normal(17)
+    save_checkpoint(path, {"u": u, "psi": u * 2}, {"alpha": 2.0, "iter": 3})
+    arrays, meta = load_checkpoint(path)
+    assert np.allclose(arrays["u"], u)
+    assert np.allclose(arrays["psi"], 2 * u)
+    assert meta == {"alpha": 2.0, "iter": 3}
+
+
+def test_write_vtu(tmp_path):
+    m = M.make_cartesian_2d(3, 3)
+    fes = FESpace(m, 2)
+    u = fes.project(lambda x: x[0] + x[1])
+    path = str(tmp_path / "out.vtu")
+    write_vtu(path, m, {"u": u}, {"u": fes})
+    text = open(path).read()
+    assert "UnstructuredGrid" in text
+    assert 'Name="u"' in text
+    # corner values of a linear function are exact
+    assert f"{2.0:.16g}" in text  # value at (1,1)
+
+
+def test_glvis_noop_without_server():
+    from mfem_ad_tpu.utils.glvis import GLVis
+
+    m = M.make_cartesian_2d(2, 2)
+    fes = FESpace(m, 1)
+    g = GLVis(port=59999)  # nothing listening
+    g.append(fes, np.zeros(fes.ndof), "x")
+    g.update()  # must not raise
+
+
+def test_mesh_ascii_roundtrip(tmp_path):
+    """GLVis mesh serialization is valid MFEM v1.0 (read back by our reader)."""
+    from mfem_ad_tpu.utils.glvis import _mesh_ascii
+    from mfem_ad_tpu.mesh import read_mfem_mesh
+
+    m = M.make_cartesian_2d(2, 3)
+    p = tmp_path / "m.mesh"
+    p.write_text(_mesh_ascii(m))
+    m2 = read_mfem_mesh(str(p))
+    assert m2.num_elements == m.num_elements
+    assert np.allclose(m2.vertices, m.vertices)
+    assert np.array_equal(np.sort(m2.elements, axis=1), np.sort(m.elements, axis=1))
