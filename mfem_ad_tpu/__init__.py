@@ -47,6 +47,7 @@ from .ad import (  # noqa: E402
     LinearElasticityEnergy,
     Lagrangian,
     ALFunctional,
+    EmptyEnergy,
     admax,
     admin,
 )
@@ -56,7 +57,16 @@ from .coefficients import (  # noqa: E402
     ConstantCoefficient,
     FunctionCoefficient,
     GridFunctionCoefficient,
+    GridFunctionValueCoefficient,
+    MappedGridFunctionCoefficient,
+    VectorGradientGridFunction,
+    VectorNormCoefficient,
+    BooleanCoefficient,
+    DifferentiableCoefficient,
+    QPContext,
+    qp_context,
 )
+from .fespace import qspace_to_fespace  # noqa: E402
 from .forms import NonlinearForm, BlockNonlinearForm, LinearForm  # noqa: E402
 from .pg import (  # noqa: E402
     PGStepSizeRule,

@@ -300,3 +300,10 @@ class ALFunctional(ADFunction):
             cx = c.energy(x, p) - self.eq_rhs[i]
             result = result + cx * (self.lam[i] + 0.5 * self.penalty * cx)
         return result
+
+
+class EmptyEnergy(ADFunction):
+    """Zero energy placeholder (reference _dof_pg.hpp:9-15)."""
+
+    def energy(self, x, p):
+        return jnp.zeros(())

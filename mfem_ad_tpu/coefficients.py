@@ -20,8 +20,34 @@ __all__ = [
     "GridFunctionCoefficient",
     "ScalarFieldCoefficient",
     "QuadratureCoefficient",
+    "GridFunctionValueCoefficient",
+    "MappedGridFunctionCoefficient",
+    "VectorGradientGridFunction",
+    "VectorNormCoefficient",
+    "BooleanCoefficient",
+    "DifferentiableCoefficient",
     "as_coefficient",
 ]
+
+
+class QPContext:
+    """Evaluation context: physical qp coordinates + the rule that made them.
+
+    Field-backed coefficients need ``ir`` (to tabulate shapes) as well as
+    ``xq``; function coefficients need only ``xq``.
+    """
+
+    def __init__(self, xq, ir=None, mesh=None):
+        self.xq = xq
+        self.ir = ir
+        self.mesh = mesh
+
+
+def qp_context(mesh, ir) -> QPContext:
+    """Build a QPContext for post-processing evaluation on (mesh, ir)."""
+    from .geometry import geom_factors
+
+    return QPContext(geom_factors(mesh, ir).xq, ir=ir, mesh=mesh)
 
 
 class Coefficient:
@@ -30,7 +56,7 @@ class Coefficient:
     size: int = 1
 
     def eval_qp(self, ctx) -> "np.ndarray":
-        """ctx is an AssemblyContext (integrator.py) with .xq [ne,nq,dim]."""
+        """ctx is a QPContext with .xq [ne,nq,dim] (+ .ir for FE fields)."""
         raise NotImplementedError
 
 
@@ -105,6 +131,147 @@ class QuadratureCoefficient(Coefficient):
     def eval_qp(self, ctx):
         v = self.values
         return v if v.ndim == 3 else v[..., None]
+
+
+def _field_at_qp(space, u, ctx):
+    """Evaluate a concrete FE field at the ctx rule's qps: [ne, nq, vdim]."""
+    u = np.asarray(u)
+    phi = space.elem.eval(ctx.ir.points)  # [nq, nd]
+    idx = np.asarray(space.edof)[:, :, None] + (
+        np.arange(space.vdim) * space.ndof_scalar
+    )
+    return np.einsum("qd,edv->eqv", phi, u[idx])
+
+
+def _field_grad_at_qp(space, u, ctx):
+    """Physical gradient of a concrete FE field: [ne, nq, vdim, dim]."""
+    from .geometry import phys_dshape
+
+    u = np.asarray(u)
+    G = phys_dshape(space.mesh, ctx.ir, space.order)  # [ne, nq, nd, dim]
+    idx = np.asarray(space.edof)[:, :, None] + (
+        np.arange(space.vdim) * space.ndof_scalar
+    )
+    return np.einsum("eqdk,edv->eqvk", G, u[idx])
+
+
+class GridFunctionValueCoefficient(Coefficient):
+    """A concrete (host-side) FE field as a coefficient — the by-value
+    GridFunction case of the reference Evaluator (ad_native.hpp:82-103)."""
+
+    def __init__(self, space, u):
+        self.space = space
+        self.u = np.asarray(u)
+        self.size = space.vdim
+
+    def eval_qp(self, ctx):
+        return _field_at_qp(self.space, self.u, ctx)
+
+
+class MappedGridFunctionCoefficient(GridFunctionValueCoefficient):
+    """Pointwise map of an FE field (reference tools.hpp:6-19)."""
+
+    def __init__(self, space, u, map_fn):
+        super().__init__(space, u)
+        self.map_fn = map_fn
+        self.size = 1
+
+    def eval_qp(self, ctx):
+        vals = _field_at_qp(self.space, self.u, ctx)
+        out = np.vectorize(self.map_fn)(vals[..., 0] if vals.shape[-1] == 1
+                                        else vals)
+        return np.asarray(out, dtype=np.float64).reshape(
+            vals.shape[0], vals.shape[1], 1
+        )
+
+
+class VectorGradientGridFunction(Coefficient):
+    """Gradient of a (vector) FE field as a flattened matrix coefficient
+    [vdim*dim] per qp, row-major (reference tools.hpp:20-33)."""
+
+    def __init__(self, space, u):
+        self.space = space
+        self.u = np.asarray(u)
+        self.size = space.vdim * space.mesh.dim
+
+    def eval_qp(self, ctx):
+        g = _field_grad_at_qp(self.space, self.u, ctx)  # [ne,nq,vdim,dim]
+        return g.reshape(g.shape[0], g.shape[1], self.size)
+
+
+class VectorNormCoefficient(Coefficient):
+    """Euclidean norm of a vector coefficient (reference tools.hpp:200-212)."""
+
+    def __init__(self, base: Coefficient):
+        self.base = as_coefficient(base)
+        self.size = 1
+
+    def eval_qp(self, ctx):
+        v = np.asarray(self.base.eval_qp(ctx))
+        return np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+class BooleanCoefficient(Coefficient):
+    """predicate(value) -> {0,1} field — active-set visualization
+    (reference tools.hpp:214-226, used at ex5.cpp:131)."""
+
+    def __init__(self, base: Coefficient, predicate):
+        self.base = as_coefficient(base)
+        self.predicate = predicate
+        self.size = 1
+
+    def eval_qp(self, ctx):
+        v = np.asarray(self.base.eval_qp(ctx))
+        out = self.predicate(v[..., 0] if v.shape[-1] == 1 else v)
+        return np.asarray(out, dtype=np.float64).reshape(
+            v.shape[0], v.shape[1], 1
+        )
+
+
+class DifferentiableCoefficient(Coefficient):
+    """An ADFunction of stacked input coefficients, with ``gradient()`` and
+    ``hessian()`` views — the reference's DifferentiableCoefficient
+    (ad_native.hpp:267-323), used to evaluate the mirror map u = dE*(psi)
+    on a mesh (ex4.cpp:124-128).
+
+    ``inputs`` is a list of coefficients whose sizes sum to f.n_input.
+    """
+
+    def __init__(self, f, inputs, deriv: int = 0):
+        self.f = f
+        self.inputs = [as_coefficient(c) for c in inputs]
+        self.deriv = deriv
+        n = sum(c.size for c in self.inputs)
+        if n != f.n_input:
+            raise ValueError(
+                f"input coefficients provide {n} values, energy wants "
+                f"{f.n_input}"
+            )
+        self.size = {0: 1, 1: f.n_input, 2: f.n_input * f.n_input}[deriv]
+
+    def gradient(self) -> "DifferentiableCoefficient":
+        return DifferentiableCoefficient(self.f, self.inputs, deriv=1)
+
+    def hessian(self) -> "DifferentiableCoefficient":
+        return DifferentiableCoefficient(self.f, self.inputs, deriv=2)
+
+    def eval_qp(self, ctx):
+        import jax
+
+        x = np.concatenate(
+            [np.asarray(c.eval_qp(ctx)) for c in self.inputs], axis=-1
+        )
+        ne, nq, n = x.shape
+        # static (tabulated) parameters of f, evaluated on the same ctx
+        p = {k: np.asarray(c.eval_qp(ctx)).reshape(ne * nq, -1)
+             for k, c in self.f.params.items()}
+        fn = self.f.energy
+        if self.deriv == 1:
+            fn = jax.grad(self.f.energy)
+        elif self.deriv == 2:
+            fn = jax.hessian(self.f.energy)
+        out = jax.vmap(fn)(x.reshape(ne * nq, n), p)
+        return np.asarray(out).reshape(ne, nq, self.size)
 
 
 def as_coefficient(obj) -> Coefficient:

@@ -36,7 +36,8 @@ from .basis import ref_element
 from .coefficients import GridFunctionCoefficient, ScalarFieldCoefficient
 from .fespace import FESpace
 from .geometry import geom_factors
-from .integrator import ADBlockIntegrator, _StaticCtx
+from .coefficients import QPContext
+from .integrator import ADBlockIntegrator
 from .pg import ADEntropy
 from .quadrature import IntegrationRule, get_rule
 
@@ -118,7 +119,7 @@ class DofPGIntegrator:
         # runtime alpha comes through fields)
         static = []
         for i, (e, xq) in enumerate(zip(entropies, nodes_xq)):
-            ctx = _StaticCtx(xq)
+            ctx = QPContext(xq)
             p = {}
             for name, coeff in e.params.items():
                 if isinstance(

@@ -476,3 +476,35 @@ def _canonical_face_corners(uniq_faces, el_faces, face_inv):
             n1, n2 = n2, n1
         out[f] = (c[oi], c[n1], c[n2], c[diag[oi]])
     return out
+
+
+def qspace_to_fespace(mesh, ir, order: int | None = None):
+    """L2 FE representation of per-qp data — the reference's QSpaceToFESpace
+    (tools.hpp:156-177), which builds an L2 space matching a QuadratureSpace.
+
+    Returns ``(space, transfer)`` where ``space`` is an L2 FESpace of the
+    given order (default: enough to fit the rule) and
+    ``transfer(values[ne, nq]) -> dofs[space.ndof]`` is the per-element
+    weighted least-squares fit of the qp values (exact when the rule
+    integrates degree-2*order polynomials, as the reference assumes for
+    its tensor-product case).
+    """
+    if order is None:
+        order = max(ir.order // 2, 0)
+    space = FESpace(mesh, order, L2)
+    phi = space.elem.eval(ir.points)  # [nq, nd]
+    W = np.diag(ir.weights)
+    A = np.linalg.solve(phi.T @ W @ phi, phi.T @ W)  # [nd, nq]
+
+    def transfer(values):
+        v = np.asarray(values)
+        if v.ndim == 3:
+            if v.shape[-1] != 1:
+                raise ValueError("qspace transfer expects scalar qp data")
+            v = v[..., 0]
+        de = np.einsum("dq,eq->ed", A, v)  # [ne, nd]
+        out = np.zeros(space.ndof)
+        out[np.asarray(space.edof)] = de
+        return out
+
+    return space, transfer

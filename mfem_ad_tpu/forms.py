@@ -224,10 +224,10 @@ class LinearForm:
         gf = geom_factors(sp.mesh, ir)
         phi = sp.elem.eval(ir.points)  # [nq, nd]
 
-        class _Ctx:
-            xq = gf.xq
+        from .coefficients import QPContext
 
-        vals = np.asarray(self.coeff.eval_qp(_Ctx))  # [ne, nq, k]
+        ctx = QPContext(gf.xq, ir=ir, mesh=sp.mesh)
+        vals = np.asarray(self.coeff.eval_qp(ctx))  # [ne, nq, k]
         if vals.shape[-1] != sp.vdim:
             raise ValueError(
                 f"load coefficient size {vals.shape[-1]} != vdim {sp.vdim}"

@@ -40,6 +40,7 @@ from .adeval import ADEval, build_B, shapedim
 from .coefficients import (
     Coefficient,
     GridFunctionCoefficient,
+    QPContext,
     ScalarFieldCoefficient,
 )
 from .fespace import FESpace
@@ -52,11 +53,6 @@ def qpmap(fn):
     return jax.vmap(jax.vmap(fn))
 
 
-class _StaticCtx:
-    """Context handed to static coefficients at tabulation time."""
-
-    def __init__(self, xq):
-        self.xq = xq
 
 
 class ADBlockIntegrator:
@@ -136,7 +132,7 @@ class ADBlockIntegrator:
         static: dict[str, jnp.ndarray] = {}
         fieldtab: dict[str, tuple] = {}
         self.field_kinds: dict[str, tuple] = {}
-        ctx = _StaticCtx(self.xq_np)
+        ctx = QPContext(self.xq_np, ir=self.ir, mesh=mesh)
         for name, coeff in f.params.items():
             if isinstance(coeff, GridFunctionCoefficient):
                 sp = coeff.space

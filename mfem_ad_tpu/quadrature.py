@@ -75,10 +75,12 @@ def _beta_fn(x: float, y: float) -> float:
 class IntegrationRule:
     """Points [nq, dim] and weights [nq] on a reference geometry."""
 
-    def __init__(self, geom: str, points: np.ndarray, weights: np.ndarray):
+    def __init__(self, geom: str, points: np.ndarray, weights: np.ndarray,
+                 order: int = 0):
         self.geom = geom
         self.points = np.asarray(points, dtype=np.float64)
         self.weights = np.asarray(weights, dtype=np.float64)
+        self.order = order  # polynomial exactness the rule was built for
         if self.points.ndim == 1:
             self.points = self.points[:, None]
 
@@ -101,19 +103,19 @@ def get_rule(geom: str, order: int) -> IntegrationRule:
     n1 = order // 2 + 1  # GL exactness 2*n1-1 >= order
     if geom == SEGMENT:
         x, w = gauss_legendre_01(n1)
-        return IntegrationRule(geom, x[:, None], w)
+        return IntegrationRule(geom, x[:, None], w, order=order)
     if geom == SQUARE:
         x, w = gauss_legendre_01(n1)
         X, Y = np.meshgrid(x, x, indexing="ij")
         W = np.outer(w, w)
         pts = np.stack([X.ravel(), Y.ravel()], axis=1)
-        return IntegrationRule(geom, pts, W.ravel())
+        return IntegrationRule(geom, pts, W.ravel(), order=order)
     if geom == CUBE:
         x, w = gauss_legendre_01(n1)
         X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
         W = np.einsum("i,j,k->ijk", w, w, w)
         pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
-        return IntegrationRule(geom, pts, W.ravel())
+        return IntegrationRule(geom, pts, W.ravel(), order=order)
     if geom == TRIANGLE:
         # Duffy/collapsed rule: GL in 'a', Gauss-Jacobi(1,0) in 'b'.
         # x = (1+a)(1-b)/4, y = (1+b)/2 maps [-1,1]^2 -> unit triangle; the
@@ -125,7 +127,7 @@ def get_rule(geom: str, order: int) -> IntegrationRule:
         Y = (1.0 + B) / 2.0
         W = np.outer(wa, wb) / 8.0
         pts = np.stack([X.ravel(), Y.ravel()], axis=1)
-        return IntegrationRule(geom, pts, W.ravel())
+        return IntegrationRule(geom, pts, W.ravel(), order=order)
     raise ValueError(f"unknown geometry {geom!r}")
 
 
