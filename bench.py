@@ -41,7 +41,7 @@ MFEM_64CORE_BASELINE = 1.0e7  # element Jacobians / sec (estimate, see above)
 
 def main():
     from mfem_ad_tpu import mesh as M
-    from mfem_ad_tpu.ad import LinearElasticityEnergy
+    from mfem_ad_tpu.ad import NeoHookeanEnergy
     from mfem_ad_tpu.adeval import ADEval
     from mfem_ad_tpu.fespace import FESpace
     from mfem_ad_tpu.integrator import ADBlockIntegrator
@@ -51,8 +51,11 @@ def main():
     m = M.make_cartesian_2d(n, n)
     dim = 2
     fes = FESpace(m, order, vdim=dim)
+    # neo-Hookean: state-dependent Hessian, so XLA cannot hoist the per-qp
+    # AD out of the timing loop (a quadratic energy has a constant Jacobian
+    # and benches as fast as XLA can prove it constant)
     intg = ADBlockIntegrator(
-        LinearElasticityEnergy(dim, 1.0, 1.0),
+        NeoHookeanEnergy(dim, 1.0, 1.0),
         [fes],
         [ADEval.GRAD | ADEval.VECTOR],
         dtype=jnp.float32,
@@ -62,31 +65,34 @@ def main():
     def make_loop(reps: int):
         @jax.jit
         def run(tables, u):
-            def body(i, acc):
-                # acc-dependence keeps XLA from hoisting the assembly out;
-                # folding sum(A) back in keeps every element live (no DCE)
-                Hq = intg.hess_state([u + acc * 1e-30], tables=tables)
+            def body(acc, c):
+                # a distinct input scaling per iteration prevents both
+                # loop-invariant hoisting and DCE of any element
+                Hq = intg.hess_state([u * c], tables=tables)
                 A = intg.element_matrices(Hq, 0, 0, tables=tables)
-                return acc + jnp.sum(A) * jnp.float32(1e-30)
+                return acc + jnp.sum(A), None
 
-            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+            cs = 1.0 + jnp.arange(reps, dtype=jnp.float32) * 1e-6
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), cs)
+            return acc
 
         return run
 
     rng = np.random.default_rng(0)
-    u = jnp.asarray(rng.standard_normal(fes.ndof), dtype=jnp.float32)
+    # small displacements keep det(F) > 0 (valid neo-Hookean state)
+    u = jnp.asarray(0.02 * rng.standard_normal(fes.ndof), dtype=jnp.float32)
 
-    r0 = int(os.environ.get("BENCH_REPS0", "10"))
-    r1 = int(os.environ.get("BENCH_REPS1", "110"))
+    r0 = int(os.environ.get("BENCH_REPS0", "20"))
+    r1 = int(os.environ.get("BENCH_REPS1", "220"))
     run0, run1 = make_loop(r0), make_loop(r1)
-    run0(intg.tables, u).block_until_ready()  # compile
-    run1(intg.tables, u).block_until_ready()
+    float(run0(intg.tables, u))  # compile + device sync (fetch the scalar:
+    float(run1(intg.tables, u))  # block_until_ready is unreliable on axon)
 
     def timed(run):
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            run(intg.tables, u).block_until_ready()
+            float(run(intg.tables, u))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

@@ -202,6 +202,30 @@ class LinearElasticityEnergy(ADFunction):
         return 0.5 * p["lambda"][0] * div * div + p["mu"][0] * jnp.sum(sym * sym)
 
 
+class NeoHookeanEnergy(ADFunction):
+    """Compressible neo-Hookean hyperelasticity
+    W = mu/2 (tr(F^T F) - d) - mu log(det F) + lambda/2 log^2(det F),
+    F = I + grad u.  A genuinely nonlinear vector energy (the Hessian
+    depends on the state) — the natural large-deformation upgrade of the
+    reference's LinearElasticityEnergy (ad_native.hpp:527-566), same
+    flattened VECTOR|GRAD input layout; linearizes to it at grad u -> 0.
+    """
+
+    def __init__(self, dim: int, lam, mu):
+        super().__init__(dim * dim)
+        self.dim = dim
+        self.add_parameter("lambda", lam)
+        self.add_parameter("mu", mu)
+
+    def energy(self, gradu, p):
+        d = self.dim
+        F = gradu.reshape(d, d) + jnp.eye(d, dtype=gradu.dtype)
+        lam, mu = p["lambda"][0], p["mu"][0]
+        I1 = jnp.sum(F * F)
+        logJ = jnp.log(jnp.linalg.det(F))
+        return 0.5 * mu * (I1 - d) - mu * logJ + 0.5 * lam * logJ * logJ
+
+
 class Lagrangian(ADFunction):
     """f(x) + sum_i lambda_i c_i(x) (ad_native.hpp:570-621).
 

@@ -161,10 +161,10 @@ class DofPGIntegrator:
         return jnp.asarray(fields["alpha"], dtype=self.dtype)
 
     # -- integrator protocol ----------------------------------------------
-    def energy(self, ublocks, fields=None, tables=None):
+    def energy(self, ublocks, fields=None, tables=None, fast: bool = True):
         t = tables or self.tables
         fields = fields or {}
-        e = self.inner.energy(ublocks[: self.np_], fields, t["inner"])
+        e = self.inner.energy(ublocks[: self.np_], fields, t["inner"], fast)
         alpha = self._alpha(fields)
         pg = 0.0
         for i in range(self.np_):
@@ -179,10 +179,10 @@ class DofPGIntegrator:
             pg = pg + jnp.sum((u * (psi - psik) - estar) * t["wn"][i])
         return e + pg / alpha
 
-    def residual(self, ublocks, fields=None, tables=None):
+    def residual(self, ublocks, fields=None, tables=None, fast: bool = True):
         t = tables or self.tables
         fields = fields or {}
-        rs = self.inner.residual(ublocks[: self.np_], fields, t["inner"])
+        rs = self.inner.residual(ublocks[: self.np_], fields, t["inner"], fast)
         alpha = self._alpha(fields)
         out_d = []
         for i in range(self.np_):
@@ -200,10 +200,10 @@ class DofPGIntegrator:
             )
         return rs + out_d
 
-    def hess_state(self, ublocks, fields=None, tables=None):
+    def hess_state(self, ublocks, fields=None, tables=None, fast: bool = True):
         t = tables or self.tables
         fields = fields or {}
-        Hq = self.inner.hess_state(ublocks[: self.np_], fields, t["inner"])
+        Hq = self.inner.hess_state(ublocks[: self.np_], fields, t["inner"], fast)
         alpha = self._alpha(fields)
         d2s = []
         for i in range(self.np_):
@@ -212,10 +212,10 @@ class DofPGIntegrator:
             d2s.append((t["wn"][i] / alpha, -d2 * t["wn"][i] / alpha))
         return (Hq, tuple(d2s))
 
-    def hess_mult(self, state, vblocks, tables=None):
+    def hess_mult(self, state, vblocks, tables=None, fast: bool = True):
         t = tables or self.tables
         Hq, d2s = state
-        ys = self.inner.hess_mult(Hq, vblocks[: self.np_], t["inner"])
+        ys = self.inner.hess_mult(Hq, vblocks[: self.np_], t["inner"], fast)
         out_d = []
         for i in range(self.np_):
             w, dd = d2s[i]
@@ -231,10 +231,10 @@ class DofPGIntegrator:
             )
         return ys + out_d
 
-    def diagonal(self, state, tables=None):
+    def diagonal(self, state, tables=None, fast: bool = True):
         t = tables or self.tables
         Hq, d2s = state
-        ds = self.inner.diagonal(Hq, t["inner"])
+        ds = self.inner.diagonal(Hq, t["inner"], fast)
         out_d = []
         for i in range(self.np_):
             _, dd = d2s[i]

@@ -187,6 +187,10 @@ class FESpace:
         self.node_coords = self._geometry_node_coords().reshape(-1, self.mesh.dim)
         self._edge_index = None
         self._face_index = None
+        self._relabel = None
+        # L2 dofs are element-contiguous by construction: the dof gather is
+        # a pure reshape (no TPU gather op) regardless of mesh structure.
+        self.grid = ("l2",)
 
     # ------------------------------------------------------------------
     def _build_h1(self):
@@ -311,6 +315,40 @@ class FESpace:
         )
         self._offsets = (nv, off_edge, off_face, off_int, npe, npf)
 
+        # ---- lexicographic relabeling on structured Cartesian meshes.
+        # Dof ids become grid indices, so the assembly dof gather/scatter is
+        # expressible as strided slices / interior-dilated pads (TPU-fast;
+        # scalar gathers are ~100x slower than slices on TPU) — see
+        # integrator.py.  The id order matches the Cartesian element order
+        # (2D: e = j*nx + i; 3D: e = i*ny*nz + j*nz + k).
+        self._relabel = None
+        self.grid = None
+        st = mesh.structured
+        if st is not None and geom in (SQUARE, CUBE):
+            c = self.node_coords
+            if st[0] == "cart2d":
+                _, nx, ny, sx, sy = st
+                NX, NY = nx * p + 1, ny * p + 1
+                gi = np.rint(c[:, 0] / sx * (nx * p)).astype(np.int64)
+                gj = np.rint(c[:, 1] / sy * (ny * p)).astype(np.int64)
+                new = gj * NX + gi
+                dims, ndims = (nx, ny), (NY, NX)
+            else:
+                _, nx, ny, nz, sx, sy, sz = st
+                NX, NY, NZ = nx * p + 1, ny * p + 1, nz * p + 1
+                gi = np.rint(c[:, 0] / sx * (nx * p)).astype(np.int64)
+                gj = np.rint(c[:, 1] / sy * (ny * p)).astype(np.int64)
+                gk = np.rint(c[:, 2] / sz * (nz * p)).astype(np.int64)
+                new = gi * (NY * NZ) + gj * NZ + gk
+                dims, ndims = (nx, ny, nz), (NX, NY, NZ)
+            if np.unique(new).size == self.ndof_scalar:
+                self.edof = new[self.edof.astype(np.int64)].astype(np.int32)
+                nc = np.empty_like(self.node_coords)
+                nc[new] = self.node_coords
+                self.node_coords = nc
+                self._relabel = new
+                self.grid = ("h1", dims, ndims)
+
     # ------------------------------------------------------------------
     def boundary_dofs(self, attr_mask=None) -> np.ndarray:
         """Scalar dof ids on boundary faces whose attribute is selected.
@@ -355,7 +393,10 @@ class FESpace:
                 dofs.append(
                     (off_face + fidx[:, None] * npf + np.arange(npf)[None, :]).ravel()
                 )
-        return np.unique(np.concatenate(dofs)) if dofs else np.zeros(0, np.int64)
+        ids = np.unique(np.concatenate(dofs)) if dofs else np.zeros(0, np.int64)
+        if self._relabel is not None:
+            ids = np.sort(self._relabel[ids])
+        return ids
 
     def essential_dofs(self, attr_mask=None, components=None) -> np.ndarray:
         """Boundary dofs expanded over vdim components (byNODES layout)."""

@@ -53,6 +53,158 @@ def qpmap(fn):
     return jax.vmap(jax.vmap(fn))
 
 
+def _dedup_elements(arr: np.ndarray) -> np.ndarray:
+    """Collapse the element axis to 1 when every element is identical.
+
+    On uniform Cartesian meshes (all of the reference's benchmark meshes,
+    ex1.cpp:35, ex4.cpp:78) the physical shape tables and static coefficient
+    values are element-invariant; storing them [1, nq, ...] shrinks HBM
+    residency and host->device transfer by a factor of n_elem and lets XLA
+    keep the shared table in VMEM across the whole element batch.
+    """
+    if arr.shape[0] > 1:
+        scale = np.abs(arr).max() or 1.0
+        if np.allclose(arr, arr[:1], rtol=0.0, atol=1e-12 * scale):
+            return arr[:1]
+    return arr
+
+
+def _space_gridmeta(space):
+    """Static metadata for the gather-free dof exchange of a space.
+
+    Returns ("l2",) for element-contiguous L2 dofs (reshape),
+    ("h1", dims, ndims, node_offsets, p) for lexicographically-numbered
+    structured H1 dofs (strided slices / dilated pads), or None (generic
+    edof gather/scatter).
+    """
+    g = getattr(space, "grid", None)
+    if g is None:
+        return None
+    if g[0] == "l2":
+        return ("l2",)
+    offs = np.rint(np.asarray(space.elem.nodes) * space.order).astype(np.int64)
+    return ("h1", g[1], g[2], offs, space.order)
+
+
+def _fast_gather(u, meta, vdim: int, nd: int):
+    """Gather element dofs [ne, nd, vdim] without a gather op (or None).
+
+    TPU scalar gathers run ~100x below HBM bandwidth; L2 reshapes and
+    structured-H1 strided slices replace them entirely.
+    """
+    if meta is None:
+        return None
+    if meta[0] == "l2":
+        return u.reshape(vdim, -1, nd).transpose(1, 2, 0)
+    _, dims, ndims, offs, p = meta
+    ne = int(np.prod(dims))
+    U = u.reshape((vdim,) + tuple(ndims))
+    cols = []
+    if len(dims) == 2:
+        nx, ny = dims
+        for d in range(nd):
+            ai, aj = int(offs[d, 0]), int(offs[d, 1])
+            sl = jax.lax.slice(
+                U,
+                (0, aj, ai),
+                (vdim, aj + (ny - 1) * p + 1, ai + (nx - 1) * p + 1),
+                (1, p, p),
+            )
+            cols.append(sl.reshape(vdim, ne))
+    else:
+        nx, ny, nz = dims
+        for d in range(nd):
+            ai, aj, ak = (int(offs[d, k]) for k in range(3))
+            sl = jax.lax.slice(
+                U,
+                (0, ai, aj, ak),
+                (
+                    vdim,
+                    ai + (nx - 1) * p + 1,
+                    aj + (ny - 1) * p + 1,
+                    ak + (nz - 1) * p + 1,
+                ),
+                (1, p, p, p),
+            )
+            cols.append(sl.reshape(vdim, ne))
+    return jnp.stack(cols, axis=0).transpose(2, 0, 1)
+
+
+def _fast_scatter(re, meta, vdim: int, nd: int):
+    """Scatter-add element values into the dof vector without a scatter op.
+
+    The structured-H1 path sums interior-dilated ``lax.pad``s — the exact
+    adjoint of the strided-slice gather.  Returns None when no fast path.
+    """
+    if meta is None:
+        return None
+    if meta[0] == "l2":
+        return re.transpose(2, 0, 1).reshape(-1)
+    _, dims, ndims, offs, p = meta
+    zero = jnp.zeros((), dtype=re.dtype)
+    out = jnp.zeros((vdim,) + tuple(ndims), dtype=re.dtype)
+    if len(dims) == 2:
+        nx, ny = dims
+        for d in range(nd):
+            ai, aj = int(offs[d, 0]), int(offs[d, 1])
+            v2 = re[:, d, :].T.reshape(vdim, ny, nx)
+            out = out + jax.lax.pad(
+                v2,
+                zero,
+                (
+                    (0, 0, 0),
+                    (aj, ndims[0] - 1 - (aj + (ny - 1) * p), p - 1),
+                    (ai, ndims[1] - 1 - (ai + (nx - 1) * p), p - 1),
+                ),
+            )
+    else:
+        nx, ny, nz = dims
+        for d in range(nd):
+            ai, aj, ak = (int(offs[d, k]) for k in range(3))
+            v3 = re[:, d, :].T.reshape(vdim, nx, ny, nz)
+            out = out + jax.lax.pad(
+                v3,
+                zero,
+                (
+                    (0, 0, 0),
+                    (ai, ndims[0] - 1 - (ai + (nx - 1) * p), p - 1),
+                    (aj, ndims[1] - 1 - (aj + (ny - 1) * p), p - 1),
+                    (ak, ndims[2] - 1 - (ak + (nz - 1) * p), p - 1),
+                ),
+            )
+    return out.reshape(-1)
+
+
+def _x_from_u(B, ue):
+    """x = B^T u per qp: [ne, nq, vdim, sd]; B may be element-shared."""
+    if B.shape[0] == 1:
+        return jnp.einsum("qds,edv->eqvs", B[0], ue)
+    return jnp.einsum("eqds,edv->eqvs", B, ue)
+
+
+def _r_from_g(B, g):
+    """r_e = B g per element: [ne, nd, vdim] from g [ne, nq, vdim, sd]."""
+    if B.shape[0] == 1:
+        return jnp.einsum("qds,eqvs->edv", B[0], g)
+    return jnp.einsum("eqds,eqvs->edv", B, g)
+
+
+def _diag_from_h(B, Hvv):
+    """Element-diagonal d_e[d,v] = sum_q B[d,:] Hvv[:,:,v] B[d,:]."""
+    if B.shape[0] == 1:
+        return jnp.einsum("qds,eqstv,qdt->edv", B[0], Hvv, B[0])
+    return jnp.einsum("eqds,eqstv,eqdt->edv", B, Hvv, B)
+
+
+def _elmat_from_h(Bs, Bt, H6):
+    """Dense element blocks A_e[(v,d),(w,k)] = B_s H B_t^T summed over qp."""
+    ss = "qds" if Bs.shape[0] == 1 else "eqds"
+    st = "qkt" if Bt.shape[0] == 1 else "eqkt"
+    a = Bs[0] if Bs.shape[0] == 1 else Bs
+    b = Bt[0] if Bt.shape[0] == 1 else Bt
+    return jnp.einsum(f"{ss},eqvswt,{st}->evdwk", a, H6, b)
+
+
 
 
 class ADBlockIntegrator:
@@ -120,9 +272,13 @@ class ADBlockIntegrator:
         for s, m in zip(spaces, modes):
             if s.vdim > 1 and not (m & ADEval.VECTOR):
                 raise ValueError("vdim > 1 requires ADEval.VECTOR")
+        self._gridmeta = [_space_gridmeta(s) for s in spaces]
 
         B = tuple(
-            jnp.asarray(build_B(s, m, self.ir, gf), dtype=dtype)
+            jnp.asarray(
+                _dedup_elements(np.asarray(build_B(s, m, self.ir, gf))),
+                dtype=dtype,
+            )
             for s, m in zip(spaces, modes)
         )
         w = jnp.asarray(gf.w, dtype=dtype)
@@ -147,11 +303,13 @@ class ADBlockIntegrator:
                     jnp.asarray(sp.edof, dtype=jnp.int32),
                     phi,
                 )
-                self.field_kinds[name] = ("gf", sp.vdim, sp.ndof_scalar)
+                self.field_kinds[name] = (
+                    "gf", sp.vdim, sp.ndof_scalar, sp.nd, _space_gridmeta(sp),
+                )
             elif isinstance(coeff, ScalarFieldCoefficient):
                 self.field_kinds[name] = ("scalar", coeff.size)
             else:
-                vals = np.asarray(coeff.eval_qp(ctx))
+                vals = _dedup_elements(np.asarray(coeff.eval_qp(ctx)))
                 static[name] = jnp.asarray(vals, dtype=self.dtype)
 
         self.tables = {
@@ -162,10 +320,50 @@ class ADBlockIntegrator:
             "field": fieldtab,
         }
 
+        # ---- MXU matmul forms of the contractions (element-shared B only).
+        # Per-qp einsums over tiny (nd, sd) dims lower to lane-starved VPU
+        # code on TPU; folding (q, v, s) into one contraction axis turns
+        #   x = B^T u, r = B g, A = B H B^T
+        # into single large GEMMs against precomputed factors:
+        #   R_s  [nq*w_s, nde_s]        with R[(q,a), i] = Bf[q, i, a]
+        #   W_st [nq*w_s*w_t, nde_s*nde_t] = Bf_s (x) Bf_t   (A = Hflat @ W)
+        # where Bf is B with the vdim block structure made explicit.
+        # Measured: the A = B H B^T einsum path is ~75x slower than Hflat @ W
+        # on a v5e at Q1/2D/vdim=2.
+        if all(b.shape[0] == 1 for b in B):
+            nb = len(spaces)
+            Bf_np = []
+            for s in range(nb):
+                b0 = np.asarray(B[s][0])  # [nq, nd, sd]
+                v, ndl, sdl = self.vdim[s], self.nd[s], self.sd[s]
+                bf = np.zeros((self.nq, v * ndl, v * sdl), b0.dtype)
+                for k in range(v):
+                    bf[:, k * ndl : (k + 1) * ndl, k * sdl : (k + 1) * sdl] = b0
+                Bf_np.append(bf)
+            self.tables["R"] = tuple(
+                jnp.asarray(
+                    bf.transpose(0, 2, 1).reshape(-1, bf.shape[1]), dtype=dtype
+                )
+                for bf in Bf_np
+            )
+            Wd = {}
+            for s in range(nb):
+                for t_ in range(nb):
+                    ws, wt = self.widths[s], self.widths[t_]
+                    ns = self.vdim[s] * self.nd[s]
+                    nt = self.vdim[t_] * self.nd[t_]
+                    if self.nq * ws * wt * ns * nt > 16_000_000:
+                        continue  # fall back to the einsum path
+                    Wst = np.einsum(
+                        "qia,qjb->qabij", Bf_np[s], Bf_np[t_]
+                    ).reshape(self.nq * ws * wt, ns * nt)
+                    Wd[f"{s}_{t_}"] = jnp.asarray(Wst, dtype=dtype)
+            self.tables["W"] = Wd
+
     # ------------------------------------------------------------------
     # core compute (pure in `tables`; safe to call inside shard_map)
     # ------------------------------------------------------------------
-    def eval_params(self, fields: dict, tables=None) -> dict:
+    def eval_params(self, fields: dict, tables=None, fast: bool = True) -> dict:
         t = tables or self.tables
         ne, nq = t["w"].shape
         p = dict(t["static"])
@@ -175,40 +373,73 @@ class ADBlockIntegrator:
                     f"assembly requires field {name!r}; got {list(fields)}"
                 )
             if kind[0] == "gf":
-                _, vdim, nsc = kind
+                _, vdim, nsc, nd_f, meta = kind
                 edof, phi = t["field"][name]
                 u = jnp.asarray(fields[name], dtype=self.dtype)
-                idx = edof[:, :, None] + jnp.arange(vdim) * nsc
-                ue = u[idx]  # [ne, nd, vdim]
+                ue = _fast_gather(u, meta if fast else None, vdim, nd_f)
+                if ue is None:
+                    idx = edof[:, :, None] + jnp.arange(vdim) * nsc
+                    ue = u[idx]  # [ne, nd, vdim]
                 p[name] = jnp.einsum("qd,edv->eqv", phi, ue)
             else:
                 _, size = kind
                 v = jnp.atleast_1d(jnp.asarray(fields[name], dtype=self.dtype))
                 p[name] = jnp.broadcast_to(v, (ne, nq, size))
+        # element-shared static values broadcast lazily (free in XLA)
+        for name, v in p.items():
+            if v.shape[0] == 1 and ne > 1:
+                p[name] = jnp.broadcast_to(v, (ne,) + v.shape[1:])
         return p
 
-    def gather(self, s: int, u, tables=None):
-        """Element dofs of block s: [ne, nd, vdim] (byNODES layout)."""
-        t = tables or self.tables
-        idx = t["edof"][s][:, :, None] + jnp.arange(self.vdim[s]) * self.nds[s]
-        return jnp.asarray(u, dtype=self.dtype)[idx]
+    def gather(self, s: int, u, tables=None, fast: bool = True):
+        """Element dofs of block s: [ne, nd, vdim] (byNODES layout).
 
-    def scatter(self, s: int, re, tables=None):
-        """Scatter-add element values [ne, nd, vdim] into block-s dofs."""
+        ``fast=True`` (single-device tables) uses the gather-free paths:
+        L2 dofs are element-contiguous (pure reshape); structured H1 dofs
+        are lexicographic, so each element node (a, b[, c]) is a strided
+        slice of the dof grid.  TPU scalar gathers run ~100x slower than
+        slices, so this is the difference between HBM-bound and
+        gather-bound assembly.  ``fast=False`` (sharded tables, where each
+        device holds an element subset) uses the generic edof gather.
+        """
         t = tables or self.tables
+        u = jnp.asarray(u, dtype=self.dtype)
+        meta = self._gridmeta[s] if fast else None
+        ue = _fast_gather(u, meta, self.vdim[s], self.nd[s])
+        if ue is not None:
+            return ue
+        idx = t["edof"][s][:, :, None] + jnp.arange(self.vdim[s]) * self.nds[s]
+        return u[idx]
+
+    def scatter(self, s: int, re, tables=None, fast: bool = True):
+        """Scatter-add element values [ne, nd, vdim] into block-s dofs.
+
+        Fast paths mirror ``gather``: L2 is a reshape; structured H1 sums
+        interior-dilated pads (lax.pad with interior padding = the exact
+        inverse of a strided slice) — no scatter op, fully vectorized.
+        """
+        t = tables or self.tables
+        meta = self._gridmeta[s] if fast else None
+        out = _fast_scatter(re, meta, self.vdim[s], self.nd[s])
+        if out is not None:
+            return out
         idx = t["edof"][s][:, :, None] + jnp.arange(self.vdim[s]) * self.nds[s]
         out = jnp.zeros(self.spaces[s].ndof, dtype=re.dtype)
         return out.at[idx].add(re)
 
-    def x_qp(self, ublocks, tables=None) -> jnp.ndarray:
+    def x_qp(self, ublocks, tables=None, fast: bool = True) -> jnp.ndarray:
         """Stacked per-qp input x [ne, nq, n_input] (x = B^T u per space,
         component-major within a space — ad_intg.hpp:242,:304)."""
         t = tables or self.tables
         ne, nq = t["w"].shape
         xs = []
         for s in range(len(self.spaces)):
-            ue = self.gather(s, ublocks[s], t)
-            x = jnp.einsum("eqds,edv->eqvs", t["B"][s], ue)
+            ue = self.gather(s, ublocks[s], t, fast)
+            if "R" in t:
+                ue2 = ue.transpose(0, 2, 1).reshape(ne, -1)  # [ne, nde]
+                x = ue2 @ t["R"][s].T  # [ne, nq*w] — one GEMM
+            else:
+                x = _x_from_u(t["B"][s], ue)
             xs.append(x.reshape(ne, nq, self.widths[s]))
         return jnp.concatenate(xs, axis=-1)
 
@@ -218,49 +449,53 @@ class ADBlockIntegrator:
         return seg.reshape(g.shape[0], g.shape[1], self.vdim[s], self.sd[s])
 
     # ------------------------------------------------------------------
-    def energy(self, ublocks, fields=None, tables=None):
+    def energy(self, ublocks, fields=None, tables=None, fast: bool = True):
         t = tables or self.tables
-        x = self.x_qp(ublocks, t)
-        p = self.eval_params(fields or {}, t)
+        x = self.x_qp(ublocks, t, fast)
+        p = self.eval_params(fields or {}, t, fast)
         vals = qpmap(self.f.energy)(x, p)
         return jnp.sum(vals * t["w"])
 
-    def residual(self, ublocks, fields=None, tables=None):
+    def residual(self, ublocks, fields=None, tables=None, fast: bool = True):
         """Per-block residual vectors: r_s = scatter(B_s (grad f) w)."""
         t = tables or self.tables
-        x = self.x_qp(ublocks, t)
-        p = self.eval_params(fields or {}, t)
+        x = self.x_qp(ublocks, t, fast)
+        p = self.eval_params(fields or {}, t, fast)
         g = qpmap(jax.grad(self.f.energy))(x, p) * t["w"][..., None]
         return [
-            self.scatter(
-                s, jnp.einsum("eqds,eqvs->edv", t["B"][s], self.spread(g, s)), t
-            )
+            self.scatter(s, self._re_from_g(g, s, t), t, fast)
             for s in range(len(self.spaces))
         ]
 
-    def hess_state(self, ublocks, fields=None, tables=None):
+    def _re_from_g(self, g, s: int, t):
+        """Element vectors [ne, nd, vdim] from weighted per-qp gradients."""
+        if "R" in t:
+            ne = g.shape[0]
+            o = self.x_off[s]
+            gf = g[..., o : o + self.widths[s]].reshape(ne, -1)  # [ne, nq*w]
+            re = gf @ t["R"][s]  # [ne, nde] — one GEMM
+            return re.reshape(ne, self.vdim[s], self.nd[s]).transpose(0, 2, 1)
+        return _r_from_g(t["B"][s], self.spread(g, s))
+
+    def hess_state(self, ublocks, fields=None, tables=None, fast: bool = True):
         """Per-qp weighted Hessian Hq [ne, nq, n, n] — the Newton state."""
         t = tables or self.tables
-        x = self.x_qp(ublocks, t)
-        p = self.eval_params(fields or {}, t)
+        x = self.x_qp(ublocks, t, fast)
+        p = self.eval_params(fields or {}, t, fast)
         H = qpmap(jax.jacfwd(jax.grad(self.f.energy)))(x, p)
         return H * t["w"][..., None, None]
 
-    def hess_mult(self, Hq, vblocks, tables=None):
+    def hess_mult(self, Hq, vblocks, tables=None, fast: bool = True):
         """Matrix-free J v: scatter(B (Hq (B^T v)))."""
         t = tables or self.tables
-        xv = self.x_qp(vblocks, t)
+        xv = self.x_qp(vblocks, t, fast)
         Hxv = jnp.einsum("eqnm,eqm->eqn", Hq, xv)
         return [
-            self.scatter(
-                s,
-                jnp.einsum("eqds,eqvs->edv", t["B"][s], self.spread(Hxv, s)),
-                t,
-            )
+            self.scatter(s, self._re_from_g(Hxv, s, t), t, fast)
             for s in range(len(self.spaces))
         ]
 
-    def diagonal(self, Hq, tables=None):
+    def diagonal(self, Hq, tables=None, fast: bool = True):
         """Per-block diagonal of the assembled Jacobian (for Jacobi PC)."""
         t = tables or self.tables
         ne, nq = t["w"].shape
@@ -272,8 +507,8 @@ class ADBlockIntegrator:
                 ne, nq, self.vdim[s], self.sd[s], self.vdim[s], self.sd[s]
             )
             Hvv = jnp.diagonal(H6, axis1=2, axis2=4)  # [ne,nq,sd,sd,vdim]
-            D = jnp.einsum("eqds,eqstv,eqdt->edv", t["B"][s], Hvv, t["B"][s])
-            out.append(self.scatter(s, D, t))
+            D = _diag_from_h(t["B"][s], Hvv)
+            out.append(self.scatter(s, D, t, fast))
         return out
 
     def element_matrices(self, Hq, s: int, t_: int, tables=None):
@@ -285,14 +520,18 @@ class ADBlockIntegrator:
         t = tables or self.tables
         ne, nq = t["w"].shape
         os_, ot = self.x_off[s], self.x_off[t_]
+        nde_s = self.vdim[s] * self.nd[s]
+        nde_t = self.vdim[t_] * self.nd[t_]
         blk = Hq[..., os_ : os_ + self.widths[s], ot : ot + self.widths[t_]]
+        key = f"{s}_{t_}"
+        if key in t.get("W", {}):
+            A = blk.reshape(ne, -1) @ t["W"][key]  # [ne, nde_s*nde_t] GEMM
+            return A.reshape(ne, nde_s, nde_t)
         H6 = blk.reshape(
             ne, nq, self.vdim[s], self.sd[s], self.vdim[t_], self.sd[t_]
         )
-        A = jnp.einsum("eqds,eqvswt,eqkt->evdwk", t["B"][s], H6, t["B"][t_])
-        return A.reshape(
-            ne, self.vdim[s] * self.nd[s], self.vdim[t_] * self.nd[t_]
-        )
+        A = _elmat_from_h(t["B"][s], t["B"][t_], H6)
+        return A.reshape(ne, nde_s, nde_t)
 
     def assemble_dense_block(self, Hq, s: int, t_: int) -> np.ndarray:
         """Assembled dense [N_s, N_t] block (small problems / tests)."""
@@ -327,13 +566,15 @@ class ADBlockIntegrator:
             return t
 
         def padel(a):
+            if a.shape[0] == 1:  # element-shared table: leave replicated
+                return a
             rep = jnp.repeat(a[:1], pad, axis=0)
             return jnp.concatenate([a, rep], axis=0)
 
         w = jnp.concatenate(
             [t["w"], jnp.zeros((pad, t["w"].shape[1]), t["w"].dtype)], axis=0
         )
-        return {
+        out = {
             "B": tuple(padel(b) for b in t["B"]),
             "w": w,
             "edof": tuple(padel(e) for e in t["edof"]),
@@ -342,3 +583,7 @@ class ADBlockIntegrator:
                 k: (padel(ed), phi) for k, (ed, phi) in t["field"].items()
             },
         }
+        for k in ("R", "W"):  # shared matmul factors: replicate as-is
+            if k in t:
+                out[k] = t[k]
+        return out

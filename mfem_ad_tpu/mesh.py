@@ -35,6 +35,12 @@ class Mesh:
     attributes: np.ndarray  # [ne] int32
     bdr_elements: np.ndarray  # [nbe, n_face_corners] int32
     bdr_attributes: np.ndarray  # [nbe] int32
+    # Structured-grid descriptor for Cartesian quad/hex meshes:
+    # ("cart2d", nx, ny, sx, sy) or ("cart3d", nx, ny, nz, sx, sy, sz).
+    # Enables lexicographic dof numbering + the slice-based (gather-free)
+    # assembly fast path in integrator.py — TPU gathers of scalars are
+    # ~100x slower than strided slices.
+    structured: tuple | None = field(default=None, compare=False)
 
     @property
     def dim(self) -> int:
@@ -65,7 +71,14 @@ class Mesh:
     def uniform_refine(self, times: int = 1) -> "Mesh":
         m = self
         for _ in range(times):
-            m = _refine_once(m)
+            if m.structured is not None and m.structured[0] == "cart2d":
+                _, nx, ny, sx, sy = m.structured
+                m = make_cartesian_2d(2 * nx, 2 * ny, m.geom, sx, sy)
+            elif m.structured is not None and m.structured[0] == "cart3d":
+                _, nx, ny, nz, sx, sy, sz = m.structured
+                m = make_cartesian_3d(2 * nx, 2 * ny, 2 * nz, sx, sy, sz)
+            else:
+                m = _refine_once(m)
         return m
 
 
@@ -121,6 +134,7 @@ def make_cartesian_2d(
         attributes=np.ones(elements.shape[0], dtype=np.int32),
         bdr_elements=np.concatenate(bdr).astype(np.int32),
         bdr_attributes=np.concatenate(battr).astype(np.int32),
+        structured=("cart2d", nx, ny, sx, sy) if geom == SQUARE else None,
     )
 
 
@@ -190,6 +204,7 @@ def make_cartesian_3d(
         attributes=np.ones(elements.shape[0], dtype=np.int32),
         bdr_elements=np.concatenate(bdr).astype(np.int32),
         bdr_attributes=np.concatenate(battr).astype(np.int32),
+        structured=("cart3d", nx, ny, nz, sx, sy, sz),
     )
 
 

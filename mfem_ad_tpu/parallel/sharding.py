@@ -39,14 +39,25 @@ except ImportError:  # pragma: no cover
 
 
 def _table_specs(tables, axis: str):
-    """PartitionSpec pytree matching an integrator's tables bundle."""
-    return {
-        "B": tuple(P(axis) for _ in tables["B"]),
-        "w": P(axis),
-        "edof": tuple(P(axis) for _ in tables["edof"]),
-        "static": {k: P(axis) for k in tables["static"]},
-        "field": {k: (P(axis), P()) for k in tables["field"]},
-    }
+    """PartitionSpec pytree matching an integrator's tables bundle.
+
+    Shape-based: any leaf whose leading dim equals the (padded) element
+    count is sharded over ``axis``; element-shared tables (leading dim 1,
+    see integrator._dedup_elements) and per-qp-only tables replicate.
+    """
+    ne = (tables["w"] if "w" in tables else tables["wn"][0]).shape[0]
+
+    def spec(leaf):
+        return P(axis) if (leaf.ndim >= 1 and leaf.shape[0] == ne) else P()
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, tuple):
+            return tuple(walk(v) for v in node)
+        return spec(node)
+
+    return walk(tables)
 
 
 class ShardedForm:
@@ -120,7 +131,7 @@ class ShardedForm:
     def energy_raw(self, tables, u, fields):
         def local(tables, u, fields):
             e = sum(
-                intg.energy(self.form.split(u), fields, t)
+                intg.energy(self.form.split(u), fields, t, fast=False)
                 for intg, t in zip(self.form.integrators, tables)
             )
             return jax.lax.psum(e, self.axis_name)
@@ -134,7 +145,7 @@ class ShardedForm:
         def local(tables, u, fields):
             acc = jnp.zeros(self.form.ndof, dtype=u.dtype)
             for intg, t in zip(self.form.integrators, tables):
-                rs = intg.residual(self.form.split(u), fields, t)
+                rs = intg.residual(self.form.split(u), fields, t, fast=False)
                 acc = acc + jnp.concatenate(rs)
             return jax.lax.psum(acc, self.axis_name)
 
@@ -149,7 +160,7 @@ class ShardedForm:
 
         def local(tables, u, fields):
             return tuple(
-                intg.hess_state(self.form.split(u), fields, t)
+                intg.hess_state(self.form.split(u), fields, t, fast=False)
                 for intg, t in zip(self.form.integrators, tables)
             )
 
@@ -165,7 +176,7 @@ class ShardedForm:
             v0 = jnp.where(ess, 0.0, v)
             blocks = self.form.split(v0)
             for intg, t, Hq in zip(self.form.integrators, tables, state):
-                ys = intg.hess_mult(Hq, blocks, t)
+                ys = intg.hess_mult(Hq, blocks, t, fast=False)
                 acc = acc + jnp.concatenate(ys)
             return jax.lax.psum(acc, self.axis_name)
 
@@ -180,7 +191,7 @@ class ShardedForm:
         def local(tables, state):
             acc = jnp.zeros(self.form.ndof)
             for intg, t, Hq in zip(self.form.integrators, tables, state):
-                ds = intg.diagonal(Hq, t)
+                ds = intg.diagonal(Hq, t, fast=False)
                 acc = acc + jnp.concatenate(ds)
             return jax.lax.psum(acc, self.axis_name)
 
