@@ -211,7 +211,9 @@ class FESpace:
         # ---- unique edges (sorted pairs) and faces (sorted quadruples)
         el_edges = np.stack([e[:, list(pr)] for pr in ledges], axis=1)  # [ne, nle, 2]
         flat_edges = np.sort(el_edges.reshape(-1, 2), axis=1)
-        uniq_edges, edge_inv = np.unique(flat_edges, axis=0, return_inverse=True)
+        from .native import unique_rows as _native_unique
+
+        uniq_edges, edge_inv = _native_unique(flat_edges)
         edge_inv = edge_inv.reshape(ne, len(ledges))
         n_edges = uniq_edges.shape[0]
 
@@ -223,9 +225,7 @@ class FESpace:
             n_lf = 0
         if n_lf:
             flat_faces = np.sort(el_faces.reshape(-1, 4), axis=1)
-            uniq_faces, face_inv = np.unique(
-                flat_faces, axis=0, return_inverse=True
-            )
+            uniq_faces, face_inv = _native_unique(flat_faces)
             face_inv = face_inv.reshape(ne, n_lf)
             n_faces = uniq_faces.shape[0]
         else:

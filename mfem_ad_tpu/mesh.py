@@ -220,10 +220,12 @@ def _unique_rows(*groups):
     group's rows to indices into unique_rows.  Used to number mesh entities
     (edges/faces) consistently between element and boundary connectivity.
     """
+    from .native import unique_rows as _native_unique
+
     all_rows = np.concatenate(groups, axis=0)
     srt = np.sort(all_rows, axis=1)
-    uniq, inv = np.unique(srt, axis=0, return_inverse=True)
-    inv = inv.ravel()
+    uniq, inv = _native_unique(srt)
+    inv = np.asarray(inv).ravel()
     out = [uniq]
     off = 0
     for g in groups:
