@@ -26,6 +26,15 @@ Constraints (callers fall back to the XLA path otherwise):
   single small matrices that live in VMEM;
 - element-shared static parameters and quadrature weights;
 - single-space integrators (the bench-critical case).
+
+Status (v5e, 2026-08): compiles and matches the XLA path to f32-matmul
+noise for polynomial energies (mass, diffusion, elasticity, det-powers).
+Energies whose second derivative goes through division/log (neo-Hookean's
+log det J) currently produce wrong values under Mosaic — an upstream
+compiler issue with nested-jvp division chains (interpret mode and CPU
+agree with the XLA path exactly).  The framework therefore keeps the XLA
+GEMM path (integrator.element_matrices) as the default and treats this
+kernel as an opt-in for polynomial energies.
 """
 
 from __future__ import annotations
