@@ -270,6 +270,8 @@ class PGSolver:
         max_iter: int = 100,
         tol: float = 1e-10,
         verbose: bool = False,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 1,
     ):
         self.form = form
         self.rule = rule
@@ -281,8 +283,15 @@ class PGSolver:
         self.max_iter = max_iter
         self.tol = tol
         self.verbose = verbose
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
 
-    def solve(self, x0, rhs, fields=None, callback=None) -> PGResult:
+    def solve(self, x0, rhs, fields=None, callback=None,
+              resume: bool = False) -> PGResult:
+        """Run the outer LVPP loop.  With ``checkpoint_path`` set, the state
+        (x, lambda_prev, iteration) is saved every ``checkpoint_every``
+        outer iterations; ``resume=True`` restarts from the latest one —
+        an auxiliary the reference lacks entirely (SURVEY.md §5)."""
         from .norms import l1_norm
 
         fields = dict(fields or {})
@@ -295,7 +304,24 @@ class PGSolver:
         newton_iters = []
         converged = False
         it = 0
-        for it in range(self.max_iter):
+        start_it = 0
+        if resume and self.checkpoint_path is not None:
+            import os
+
+            from .utils.checkpoint import load_checkpoint
+
+            final = (self.checkpoint_path
+                     if self.checkpoint_path.endswith(".npz")
+                     else self.checkpoint_path + ".npz")
+            if os.path.exists(final):
+                arrays, meta = load_checkpoint(self.checkpoint_path)
+                x = jnp.asarray(arrays["x"])
+                if "lam_prev" in arrays:
+                    lam_prev = jnp.asarray(arrays["lam_prev"])
+                start_it = int(meta["iteration"]) + 1
+                if self.verbose:
+                    print(f"PG resume from iteration {start_it}")
+        for it in range(start_it, self.max_iter):
             alpha = self.rule.get(it)
             psik = x[off[s] : off[s + 1]]
             fields["alpha"] = jnp.asarray(alpha)
@@ -323,6 +349,19 @@ class PGSolver:
                 )
             if callback is not None:
                 callback(it, x, lam)
+            if self.checkpoint_path is not None and (
+                it % self.checkpoint_every == 0
+            ):
+                from .utils.checkpoint import save_checkpoint
+
+                arrays = {"x": np.asarray(x)}
+                if lam is not None:
+                    arrays["lam_prev"] = np.asarray(lam)
+                save_checkpoint(
+                    self.checkpoint_path, arrays,
+                    meta={"iteration": it, "alpha": float(alpha),
+                          "lam_diff": float(lam_diff)},
+                )
             if lam_diff < self.tol:
                 converged = True
                 break

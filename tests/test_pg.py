@@ -223,3 +223,35 @@ def test_simpl_topopt_decreases_compliance():
     assert abs(res.volume_history[-1] - 0.5) < 1e-3  # volume constraint
     rho = np.asarray(res.rho)
     assert rho.min() >= -1e-9 and rho.max() <= 1 + 1e-9
+
+
+def test_pg_checkpoint_resume(tmp_path):
+    """Checkpoint/resume reproduces the uninterrupted LVPP run."""
+    from mfem_ad_tpu.models import obstacle
+    from mfem_ad_tpu.pg import PGSolver
+    from mfem_ad_tpu.solvers import NewtonOptions
+
+    pb = obstacle.build(order=1, ref_levels=0, n0=4)
+    rule = PGStepSizeRule(PGStepSizeRule.EXP, 0.1, 1e4, 2.0)
+    nopts = NewtonOptions(abs_tol=1e-9, max_iter=20, lin_solver="dense")
+    ckpt = str(tmp_path / "pg_ckpt")
+
+    def make(**kw):
+        return PGSolver(
+            pb.form, rule, latent_block=1, latent_space=pb.latent_space,
+            newton_opts=nopts, tol=1e-8, **kw,
+        )
+
+    full = make(max_iter=30).solve(jnp.zeros(pb.form.ndof), pb.rhs)
+    assert full.converged
+
+    # run 5 outer iterations with checkpointing, then resume to the end
+    part = make(max_iter=5, checkpoint_path=ckpt).solve(
+        jnp.zeros(pb.form.ndof), pb.rhs
+    )
+    assert not part.converged
+    res = make(max_iter=30, checkpoint_path=ckpt).solve(
+        jnp.zeros(pb.form.ndof), pb.rhs, resume=True
+    )
+    assert res.converged
+    assert np.allclose(np.asarray(res.x), np.asarray(full.x), atol=1e-8)
