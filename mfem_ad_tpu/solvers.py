@@ -122,6 +122,103 @@ _KRYLOV = {"cg": cg, "gmres": gmres, "minres": minres}
 
 
 # ---------------------------------------------------------------------------
+# Schur-complement solver for (u, psi) saddle systems with an L2 latent
+# ---------------------------------------------------------------------------
+
+
+def make_pg_schur_solver(latent_block: int = 1, tol: float = 1e-12,
+                         maxiter: int = 2000, jacobi: bool = True,
+                         reg: float = 1e-10):
+    """Exact Schur reduction of the LVPP saddle Jacobian — the TPU-native
+    replacement for the reference's monolithic MUMPS solve (tools.hpp:
+    128-154, used at ex4.cpp:166).
+
+    The block Jacobian is [[A, C], [C^T, -D]] with D = (E*''/alpha)-weighted
+    latent mass.  When the latent space is L2, D is **element-block-diagonal**
+    (L2 dofs never couple across elements), so D^{-1} is a batched dense
+    solve of [ne, nd, nd] blocks — exact, local, and cheap.  Eliminating
+    psi gives the SPD condensed system
+
+        (A + C D^{-1} C^T) du = r_u + C D^{-1} r_psi,
+        dpsi = D^{-1} (C^T du - r_psi),
+
+    solved with Jacobi-preconditioned CG.  This is the structure the
+    reference's PGPreconditioner approximates (pg.hpp:378-504); here the
+    latent block is handled exactly instead.
+
+    Returns a callable suitable for ``NewtonOptions.lin_solver``.  The form
+    must have exactly one integrator and the latent space must be L2
+    (element-contiguous dofs).
+    """
+
+    def solve(form, state, r):
+        intg = form.integrators[0]
+        off = form.offsets
+        lb = latent_block
+        n0, n1 = off[lb], off[lb + 1] - off[lb]
+        Hq = state[0]
+
+        # element-block-diagonal latent block: D_e = -d2L/dpsi2 elementwise
+        De = -intg.element_matrices(Hq, lb, lb)  # [ne, nd, nd], SPD
+        ne, ndl, _ = De.shape
+        # E*'' underflows where the mirror map saturates (the active set),
+        # making D_e numerically singular; a tiny relative shift keeps the
+        # condensed system solvable — the perturbed direction differs only
+        # where the latent is already converged.
+        dmax = jnp.max(jnp.abs(De))
+        eye = jnp.eye(ndl, dtype=De.dtype)
+        De_inv = jnp.linalg.inv(De + (reg * dmax) * eye)
+
+        def Dinv(w):  # L2 dofs are element-contiguous: pure reshape
+            we = w.reshape(ne, ndl)
+            ze = jnp.einsum("eij,ej->ei", De_inv, we)
+            return ze.reshape(-1)
+
+        def pad_u(v):
+            return jnp.concatenate([v, jnp.zeros(n1, v.dtype)])
+
+        def pad_p(w):
+            return jnp.concatenate([jnp.zeros(n0, w.dtype), w])
+
+        def S(v):
+            Jv = form.grad_mult(state, pad_u(v))
+            Av, Ctv = Jv[:n0], Jv[n0:]
+            Cw = form.grad_mult(state, pad_p(Dinv(Ctv)))[:n0]
+            return Av + Cw
+
+        M = None
+        if jacobi:
+            # diag(S) = diag(A) + diag(C D^{-1} C^T); the second term
+            # dominates as alpha grows (D ~ E*''/alpha -> 0 on the active
+            # set), so it must be in the preconditioner.  Exact per element:
+            # (C_e D_e^{-1} C_e^T)_ii scattered to u dofs.
+            ub = 1 - lb  # the primal block (2-block systems)
+            d = jnp.abs(form.grad_diag(state)[:n0])
+            Ce = intg.element_matrices(Hq, ub, lb)  # [ne, nde_u, ndl]
+            dS = jnp.einsum("eij,ejk,eik->ei", Ce, De_inv, Ce)
+            sp_u = form.spaces[ub]
+            edof = jnp.asarray(sp_u.edof, jnp.int32)
+            idx = (
+                edof[:, None, :]
+                + (jnp.arange(sp_u.vdim) * sp_u.ndof_scalar)[None, :, None]
+            ).reshape(ne, -1)  # byNODES (v, d) flat, matches Ce rows
+            d = d + jnp.zeros(n0, d.dtype).at[idx.reshape(-1)].add(
+                dS.reshape(-1)
+            )
+            safe = jnp.where(d < 1e-300, 1.0, d)
+            M = lambda v: v / safe  # noqa: E731
+
+        r_u, r_p = r[:n0], r[n0:]
+        rhs = r_u + form.grad_mult(state, pad_p(Dinv(r_p)))[:n0]
+        du = cg(S, rhs, M=M, tol=tol, maxiter=maxiter)
+        Ct_du = form.grad_mult(state, pad_u(du))[n0:]
+        dp = Dinv(Ct_du - r_p)
+        return jnp.concatenate([du, dp])
+
+    return solve
+
+
+# ---------------------------------------------------------------------------
 # Newton
 # ---------------------------------------------------------------------------
 

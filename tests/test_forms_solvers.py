@@ -155,3 +155,53 @@ def test_elasticity_solve():
     ess = pb.space.essential_dofs(np.array([0, 0, 0, 1]))
     assert np.allclose(u[ess], 0.0)
     assert np.abs(u).max() > 0.01  # deformed elsewhere
+
+
+def test_pg_schur_solver_exact_direction():
+    """Exact Schur elimination of the L2 latent block reproduces the dense
+    Newton direction (solvers.make_pg_schur_solver)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mfem_ad_tpu.models import obstacle
+    from mfem_ad_tpu.solvers import make_pg_schur_solver
+
+    pb = obstacle.build(order=1, ref_levels=0, n0=4)
+    form = pb.form
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(0.2 * rng.standard_normal(form.ndof))
+    fields = {
+        "alpha": jnp.asarray(1.6),
+        "latent_k0": jnp.asarray(
+            0.1 * rng.standard_normal(pb.latent_space.ndof)
+        ),
+    }
+    r = form.mult(x, fields) - pb.rhs
+    r = jnp.where(form.ess_mask, 0.0, r)
+    state = form.grad_state(x, fields)
+    c_dense = np.linalg.solve(form.assemble_dense(state), np.asarray(r))
+    solve = make_pg_schur_solver(1, tol=1e-14, maxiter=10000, reg=0.0)
+    c_schur = np.asarray(solve(form, state, r))
+    assert np.linalg.norm(c_schur - c_dense) < 1e-10 * np.linalg.norm(c_dense)
+
+
+def test_pg_schur_obstacle_converges():
+    """Full LVPP run with the Schur inner solver (MUMPS-free ex4)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mfem_ad_tpu.models import obstacle
+    from mfem_ad_tpu.pg import PGSolver, PGStepSizeRule
+    from mfem_ad_tpu.solvers import NewtonOptions, make_pg_schur_solver
+
+    pb = obstacle.build(order=1, ref_levels=0, n0=6)
+    rule = PGStepSizeRule(PGStepSizeRule.EXP, 0.1, 1e4, 2.0)
+    nopts = NewtonOptions(
+        abs_tol=1e-9, max_iter=20,
+        lin_solver=make_pg_schur_solver(1, tol=1e-13, maxiter=3000),
+    )
+    solver = PGSolver(
+        pb.form, rule, 1, pb.latent_space, nopts, max_iter=40, tol=1e-8
+    )
+    res = solver.solve(jnp.zeros(pb.form.ndof), pb.rhs)
+    assert res.converged
+    u = np.asarray(res.x[: pb.primal_space.ndof])
+    assert u.min() > -1e-8 and u.max() < 0.5 + 1e-2
