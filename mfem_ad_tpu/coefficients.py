@@ -71,7 +71,13 @@ class ConstantCoefficient(Coefficient):
 
 
 class FunctionCoefficient(Coefficient):
-    """fn(x) with x a [dim] point; scalar or vector valued."""
+    """fn(x) with x a [dim] point; scalar or vector valued.
+
+    Functions written with component indexing (``x[0]``, ``x[1]``, numpy
+    ufuncs) evaluate vectorized over all qps at once (x arrives as
+    ``[dim, N]``, so ``x[0]`` is the array of first components); anything
+    that fails vectorization falls back to a per-point loop.
+    """
 
     def __init__(self, fn, size: int = 1):
         self.fn = fn
@@ -81,7 +87,31 @@ class FunctionCoefficient(Coefficient):
         xq = np.asarray(ctx.xq)
         ne, nq, dim = xq.shape
         flat = xq.reshape(-1, dim)
-        vals = np.array([self.fn(x) for x in flat], dtype=np.float64)
+        n = flat.shape[0]
+        try:
+            v = np.asarray(self.fn(flat.T), dtype=np.float64)
+            if self.size == 1 and v.shape == (n,):
+                vals = v[:, None]
+            elif v.shape == (self.size, n):
+                vals = v.T
+            elif v.shape == (self.size,) or v.shape == ():
+                # constant-valued fn: broadcast
+                vals = np.broadcast_to(
+                    np.atleast_1d(v), (n, self.size)
+                )
+            else:
+                raise ValueError("not vectorized")
+            # spot-check one point: reject silently-wrong vectorization
+            # (e.g. a reduction over x that collapses the point axis)
+            v0 = np.atleast_1d(
+                np.asarray(self.fn(flat[0]), dtype=np.float64)
+            )
+            if not np.allclose(vals[0], v0, rtol=1e-12, atol=1e-12):
+                raise ValueError("vectorized result mismatch")
+        except Exception:
+            vals = np.array(
+                [self.fn(x) for x in flat], dtype=np.float64
+            ).reshape(n, self.size)
         return vals.reshape(ne, nq, self.size)
 
 

@@ -424,10 +424,28 @@ class FESpace:
         For vdim>1, ``fn`` must return a length-vdim array; the result uses
         byNODES layout.  Equivalent of GridFunction::ProjectCoefficient.
         """
-        vals = np.array([fn(x) for x in self.node_coords])
+        n = self.node_coords.shape[0]
+        try:  # vectorized: fn receives [dim, n] so x[0] is all first comps
+            vals = np.asarray(fn(self.node_coords.T), dtype=np.float64)
+            if self.vdim == 1 and vals.shape == (n,):
+                pass
+            elif vals.shape == (self.vdim, n):
+                vals = vals.T
+            elif vals.shape in ((self.vdim,), ()):
+                vals = np.broadcast_to(np.atleast_1d(vals), (n, self.vdim))
+            else:
+                raise ValueError("not vectorized")
+            v0 = np.atleast_1d(np.asarray(fn(self.node_coords[0]),
+                                          dtype=np.float64))
+            if not np.allclose(np.atleast_1d(vals[0] if vals.ndim > 1
+                                             else vals[0]), v0,
+                               rtol=1e-12, atol=1e-12):
+                raise ValueError("vectorized result mismatch")
+        except Exception:
+            vals = np.array([fn(x) for x in self.node_coords])
         if self.vdim == 1:
             return vals.reshape(-1)
-        return vals.T.reshape(-1)  # byNODES: [comp0 all nodes, comp1 ...]
+        return vals.reshape(n, self.vdim).T.reshape(-1)  # byNODES layout
 
     def project_bdr(self, u: np.ndarray, fn, attr_mask=None) -> np.ndarray:
         """Overwrite boundary nodal values with fn — ProjectBdrCoefficient."""
