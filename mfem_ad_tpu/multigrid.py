@@ -1,0 +1,195 @@
+"""Geometric multigrid on structured dof grids — the TPU "AMG".
+
+The reference leans on hypre BoomerAMG / MUMPS for ill-conditioned systems
+(pg.hpp:388-400, tools.hpp:128-154).  Neither exists on TPU, and
+single-precision Jacobi-CG stalls at kappa ~ h^-2 (f32 epsilon * kappa > 1
+already at ~512^2 Q1 grids).  On the structured meshes this framework
+lexicographically numbers (fespace.py), the natural replacement is
+geometric multigrid:
+
+- **transfers** are separable 1-D stencils on the dof grid — interior-
+  dilated pads and strided slices, the same TPU-fast primitives as the
+  assembly fast path (no gather/scatter anywhere);
+- **smoother** is damped Jacobi (omega=2/3), SPD-symmetric so the V-cycle
+  is a valid CG preconditioner;
+- **coarse solve** is a precomputed dense inverse (the coarsest level is a
+  few hundred dofs).
+
+Usage: build the same form on each level of a nested mesh hierarchy
+(fine -> coarse, each coarser mesh = half the cells per side), then
+
+    gmg = GMG([form_0, form_1, ..., form_L])
+    opts = NewtonOptions(lin_solver="cg", preconditioner=gmg.as_preconditioner())
+
+Restricted to order-1 spaces on structured quad/hex meshes (where the
+conditioning problem lives); higher orders can be wrapped by p-coarsening
+to their Q1 subspace.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# 1-D transfer stencils on nodal grids (Q1: linear interpolation)
+# ---------------------------------------------------------------------------
+
+
+def _up1d(a, axis: int):
+    """Linear prolongation along ``axis``: [.., Nc, ..] -> [.., 2Nc-1, ..]."""
+    nd = a.ndim
+    cfg = [(0, 0, 0)] * nd
+    cfg[axis] = (0, 0, 1)  # interior dilation: coarse values at even slots
+    z = jax.lax.pad(a, jnp.zeros((), a.dtype), cfg)
+
+    def shift(x, by):
+        pad = [(0, 0)] * nd
+        sl = [slice(None)] * nd
+        if by > 0:
+            pad[axis] = (by, 0)
+            sl[axis] = slice(0, x.shape[axis] - by)
+        else:
+            pad[axis] = (0, -by)
+            sl[axis] = slice(-by, None)
+        return jnp.pad(x[tuple(sl)], pad)
+
+    return z + 0.5 * (shift(z, 1) + shift(z, -1))
+
+
+def _down1d(r, axis: int):
+    """Transpose of ``_up1d`` (full weighting): [.., Nf, ..] -> [.., (Nf+1)//2, ..]."""
+    nd = r.ndim
+    sl_even = [slice(None)] * nd
+    sl_even[axis] = slice(0, None, 2)
+    sl_odd = [slice(None)] * nd
+    sl_odd[axis] = slice(1, None, 2)
+    even = r[tuple(sl_even)]
+    odd = r[tuple(sl_odd)]
+    pad_l = [(0, 0)] * nd
+    pad_l[axis] = (1, 0)
+    pad_r = [(0, 0)] * nd
+    pad_r[axis] = (0, 1)
+    return even + 0.5 * (jnp.pad(odd, pad_l) + jnp.pad(odd, pad_r))
+
+
+def _grid_shape(space):
+    g = getattr(space, "grid", None)
+    if g is None or g[0] != "h1":
+        raise ValueError(
+            "GMG requires structured H1 spaces (lexicographic dof grids)"
+        )
+    return tuple(g[2])  # ndims: 2D (NY, NX); 3D (NX, NY, NZ)
+
+
+class GMG:
+    """Symmetric V-cycle preconditioner over nested structured forms.
+
+    Args:
+        forms: fine-to-coarse list of single-space forms on nested meshes.
+        fields: runtime fields for Jacobian states (default none).
+        x_levels: linearization points per level (default zeros).
+        nu: pre/post smoothing steps.
+        omega: Jacobi damping.
+    """
+
+    def __init__(self, forms, fields=None, x_levels=None, nu: int = 2,
+                 omega: float = 2.0 / 3.0):
+        self.forms = list(forms)
+        self.nu = nu
+        self.omega = omega
+        fields = fields or {}
+        sp0 = self.forms[0].spaces[0]
+        self.vdim = sp0.vdim
+        self.shapes = [_grid_shape(f.spaces[0]) for f in self.forms]
+        for fine, coarse in zip(self.shapes, self.shapes[1:]):
+            for nf, nc in zip(fine, coarse):
+                if nf != 2 * nc - 1:
+                    raise ValueError(
+                        f"levels not nested: fine grid {fine} vs coarse "
+                        f"{coarse} (need Nf = 2 Nc - 1)"
+                    )
+        if x_levels is None:
+            x_levels = [jnp.zeros(f.ndof) for f in self.forms]
+        self.states = [
+            f.grad_state(x, fields) for f, x in zip(self.forms, x_levels)
+        ]
+        self.diags = [
+            f.grad_diag(s) for f, s in zip(self.forms, self.states)
+        ]
+        # dense inverse on the coarsest level (BC rows are identity there)
+        Ac = self.forms[-1].assemble_dense(self.states[-1])
+        self.coarse_inv = jnp.asarray(np.linalg.inv(Ac))
+
+    # -- grid reshape helpers ------------------------------------------
+    def _to_grid(self, lvl, u):
+        return u.reshape((self.vdim,) + self.shapes[lvl])
+
+    def _axes(self, lvl):
+        return range(1, 1 + len(self.shapes[lvl]))
+
+    def prolong(self, lvl, uc):
+        """coarse level lvl+1 -> fine level lvl."""
+        g = self._to_grid(lvl + 1, uc)
+        for ax in self._axes(lvl + 1):
+            g = _up1d(g, ax)
+        out = g.reshape(-1)
+        return jnp.where(self.forms[lvl].ess_mask, 0.0, out)
+
+    def restrict(self, lvl, rf):
+        """fine level lvl -> coarse level lvl+1."""
+        g = self._to_grid(lvl, rf)
+        for ax in self._axes(lvl):
+            g = _down1d(g, ax)
+        out = g.reshape(-1)
+        return jnp.where(self.forms[lvl + 1].ess_mask, 0.0, out)
+
+    # -------------------------------------------------------------------
+    def _smooth(self, lvl, x, b):
+        form, state = self.forms[lvl], self.states[lvl]
+        d = self.diags[lvl]
+        safe = jnp.where(jnp.abs(d) < 1e-300, 1.0, d)
+        for _ in range(self.nu):
+            r = b - form.grad_mult_raw(
+                form._tables(), form.ess_mask, state, x
+            )
+            x = x + self.omega * r / safe
+        return x
+
+    def vcycle(self, lvl, b):
+        if lvl == len(self.forms) - 1:
+            return self.coarse_inv @ b
+        form, state = self.forms[lvl], self.states[lvl]
+        x = self._smooth(lvl, jnp.zeros_like(b), b)
+        r = b - form.grad_mult_raw(form._tables(), form.ess_mask, state, x)
+        rc = self.restrict(lvl, r)
+        xc = self.vcycle(lvl + 1, rc)
+        x = x + self.prolong(lvl, xc)
+        return self._smooth(lvl, x, b)
+
+    def __call__(self, r):
+        return self.vcycle(0, r)
+
+    def as_preconditioner(self):
+        """NewtonOptions.preconditioner factory: refresh the finest level's
+        state at the current Newton iterate, keep coarse levels frozen."""
+
+        def make(form, state):
+            self.states[0] = state
+            self.diags[0] = form.grad_diag(state)
+            return self
+
+        return make
+
+
+def build_hierarchy(build_fn, n0: int, levels: int):
+    """Convenience: forms on meshes n0*2^(levels-1), ..., 2*n0, n0 cells.
+
+    ``build_fn(n) -> form`` constructs the discretization on an n x n (x n)
+    structured mesh.  Returns fine-to-coarse form list.
+    """
+    ns = [n0 * 2**k for k in range(levels - 1, -1, -1)]
+    return [build_fn(n) for n in ns]
