@@ -37,6 +37,17 @@ if not os.environ.get("MFEM_AD_TPU_NO_X64"):
 
     jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to bf16 inputs, which injects ~1e-3 relative noise
+# into residual evaluation and Krylov iterations — fatal for Newton
+# convergence (measured: f32 elasticity diverges on a v5e at default
+# precision, converges to the f32 floor at HIGHEST).  FEM needs true-f32
+# contractions; override with MFEM_AD_TPU_MATMUL_PRECISION={default,high}.
+_prec = os.environ.get("MFEM_AD_TPU_MATMUL_PRECISION", "highest")
+if _prec != "default":
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", _prec)
+
 from . import quadrature, basis, mesh, geometry, fespace  # noqa: E402
 from .ad import (  # noqa: E402
     ADFunction,

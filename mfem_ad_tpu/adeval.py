@@ -85,6 +85,11 @@ def build_B(
     mesh = space.mesh
     sdim = mesh.dim
     ne = mesh.num_elements
+    # uniform Cartesian meshes have element-invariant physical shapes:
+    # build B once ([1, nq, nd, sd]); integrator._dedup_elements keeps it
+    # shared and the contractions use the B[0] fast forms
+    if mesh.structured is not None:
+        ne = 1
     nq = ir.npoints
     nd = space.nd
     sd = shapedim(mode, sdim)
@@ -105,7 +110,7 @@ def build_B(
         B[:, :, :, col] = phi[None, :, :]
         col += 1
     if need_grad:
-        G = phys_dshape(mesh, ir, space.order, gf)  # [ne, nq, nd, sdim]
+        G = phys_dshape(mesh, ir, space.order, gf)[:ne]  # [ne, nq, nd, sdim]
     if mode & ADEval.GRAD:
         B[:, :, :, col : col + sdim] = G
         col += sdim

@@ -525,7 +525,14 @@ class ADBlockIntegrator:
         blk = Hq[..., os_ : os_ + self.widths[s], ot : ot + self.widths[t_]]
         key = f"{s}_{t_}"
         if key in t.get("W", {}):
-            A = blk.reshape(ne, -1) @ t["W"][key]  # [ne, nde_s*nde_t] GEMM
+            # HIGH (bf16x3, ~1e-6 rel) suffices for assembled Jacobians:
+            # Newton accuracy is set by the residual path (kept at the
+            # session default, HIGHEST), and inexact Jacobians only affect
+            # the convergence rate.  f64 inputs ignore this hint.
+            A = jnp.einsum(
+                "ek,kj->ej", blk.reshape(ne, -1), t["W"][key],
+                precision=jax.lax.Precision.HIGH,
+            )
             return A.reshape(ne, nde_s, nde_t)
         H6 = blk.reshape(
             ne, nq, self.vdim[s], self.sd[s], self.vdim[t_], self.sd[t_]
