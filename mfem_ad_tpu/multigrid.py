@@ -148,41 +148,75 @@ class GMG:
         return jnp.where(self.forms[lvl + 1].ess_mask, 0.0, out)
 
     # -------------------------------------------------------------------
-    def _smooth(self, lvl, x, b):
-        form, state = self.forms[lvl], self.states[lvl]
-        d = self.diags[lvl]
+    # The level data (tables/ess/states/diags/coarse inverse) travels as an
+    # explicit pytree so jitted callers (the fused Newton step) pass it as
+    # arguments — embedded-constant level tables make eager V-cycle calls
+    # recompile-bound on TPU (measured ~100x slowdown through a tunneled
+    # chip).
+    def pdata(self):
+        return {
+            "tables": [f._tables() for f in self.forms],
+            "ess": [f.ess_mask for f in self.forms],
+            "states": list(self.states),
+            "diags": list(self.diags),
+            "coarse_inv": self.coarse_inv,
+        }
+
+    def _smooth(self, data, lvl, x, b):
+        form = self.forms[lvl]
+        d = data["diags"][lvl]
         safe = jnp.where(jnp.abs(d) < 1e-300, 1.0, d)
         for _ in range(self.nu):
             r = b - form.grad_mult_raw(
-                form._tables(), form.ess_mask, state, x
+                data["tables"][lvl], data["ess"][lvl], data["states"][lvl], x
             )
             x = x + self.omega * r / safe
         return x
 
-    def vcycle(self, lvl, b):
+    def vcycle_pure(self, data, lvl, b):
         if lvl == len(self.forms) - 1:
-            return self.coarse_inv @ b
-        form, state = self.forms[lvl], self.states[lvl]
-        x = self._smooth(lvl, jnp.zeros_like(b), b)
-        r = b - form.grad_mult_raw(form._tables(), form.ess_mask, state, x)
+            return data["coarse_inv"] @ b
+        form = self.forms[lvl]
+        x = self._smooth(data, lvl, jnp.zeros_like(b), b)
+        r = b - form.grad_mult_raw(
+            data["tables"][lvl], data["ess"][lvl], data["states"][lvl], x
+        )
         rc = self.restrict(lvl, r)
-        xc = self.vcycle(lvl + 1, rc)
+        xc = self.vcycle_pure(data, lvl + 1, rc)
         x = x + self.prolong(lvl, xc)
-        return self._smooth(lvl, x, b)
+        return self._smooth(data, lvl, x, b)
+
+    def vcycle(self, lvl, b):
+        return self.vcycle_pure(self.pdata(), lvl, b)
 
     def __call__(self, r):
         return self.vcycle(0, r)
 
     def as_preconditioner(self):
         """NewtonOptions.preconditioner factory: refresh the finest level's
-        state at the current Newton iterate, keep coarse levels frozen."""
+        state at the current Newton iterate, keep coarse levels frozen.
+        Solvers detect ``fused_pdata``/``fused_vcycle`` and thread the
+        level data through jit arguments (solvers._fused_newton_step)."""
 
         def make(form, state):
             self.states[0] = state
             self.diags[0] = form.grad_diag(state)
             return self
 
+        make.fused_gmg = self
         return make
+
+    # -- fused-step protocol ---------------------------------------------
+    def fused_pdata(self):
+        return self.pdata()
+
+    def fused_vcycle(self, data, state0, diag0, b):
+        """V-cycle with the finest level's Newton state passed as traced
+        arguments (coarse levels frozen from ``data``)."""
+        data = dict(data)
+        data["states"] = [state0] + list(data["states"][1:])
+        data["diags"] = [diag0] + list(data["diags"][1:])
+        return self.vcycle_pure(data, 0, b)
 
 
 def build_hierarchy(build_fn, n0: int, levels: int):

@@ -264,19 +264,27 @@ def _fused_newton_step(form, opts: "NewtonOptions"):
     """One Newton update (residual + Jacobian state + preconditioned Krylov
     solve + update) as a single jitted program with the form's tabulated
     tensors passed as arguments (closed-over tables become XLA constants,
-    which wrecks compile time on TPU).  Cached on the form per option set."""
+    which wrecks compile time on TPU).  Cached on the form per option set.
+
+    GMG preconditioners (multigrid.GMG.as_preconditioner) participate via
+    the fused protocol: their level data is the extra ``pdata`` argument.
+    """
+    gmg = getattr(opts.preconditioner, "fused_gmg", None)
     key = (
         "newton_step", opts.lin_solver, opts.lin_tol, opts.lin_maxiter,
-        opts.preconditioner, opts.damping,
+        id(gmg) if gmg is not None else opts.preconditioner, opts.damping,
     )
 
-    def step(tables, ess, x, b, fields):
+    def step(tables, ess, x, b, fields, pdata):
         r = form.mult_raw(tables, ess, x, fields) - b
         r = jnp.where(ess, 0.0, r)
         state = form.grad_state_raw(tables, x, fields)
         mv = lambda v: form.grad_mult_raw(tables, ess, state, v)  # noqa: E731
         M = None
-        if opts.preconditioner == "jacobi":
+        if gmg is not None:
+            d0 = form.grad_diag_raw(tables, ess, state)
+            M = lambda v: gmg.fused_vcycle(pdata, state, d0, v)  # noqa: E731
+        elif opts.preconditioner == "jacobi":
             d = jnp.abs(form.grad_diag_raw(tables, ess, state))
             safe = jnp.where(d < 1e-300, 1.0, d)
             M = lambda v: v / safe  # noqa: E731
@@ -302,12 +310,14 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
     else:
         b = jnp.asarray(b, dtype=x.dtype)
 
+    gmg = getattr(opts.preconditioner, "fused_gmg", None)
     fused = (
         isinstance(opts.lin_solver, str)
         and opts.lin_solver in _KRYLOV
-        and opts.preconditioner in (None, "jacobi")
+        and (opts.preconditioner in (None, "jacobi") or gmg is not None)
     )
     step = _fused_newton_step(form, opts) if fused else None
+    pdata = gmg.fused_pdata() if gmg is not None else ()
 
     hist = []
     norm0 = None
@@ -329,7 +339,7 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
         if it == opts.max_iter:
             break
         if fused:
-            x = step(form._tables(), form.ess_mask, x, b, fields)
+            x = step(form._tables(), form.ess_mask, x, b, fields, pdata)
             continue
         state = form.grad_state(x, fields)
         if opts.lin_solver == "dense":
