@@ -203,20 +203,71 @@ class GMG:
             self.diags[0] = form.grad_diag(state)
             return self
 
-        make.fused_gmg = self
+        make.fused_precond = self
         return make
 
     # -- fused-step protocol ---------------------------------------------
+    # Solvers thread ``fused_pdata()`` through jit arguments and call
+    # ``fused_apply(pdata, state, diag, r)`` with the current (traced)
+    # Newton state and |diag| of the form being solved.
     def fused_pdata(self):
         return self.pdata()
 
-    def fused_vcycle(self, data, state0, diag0, b):
+    def fused_apply(self, data, state0, diag0, b):
         """V-cycle with the finest level's Newton state passed as traced
         arguments (coarse levels frozen from ``data``)."""
         data = dict(data)
         data["states"] = [state0] + list(data["states"][1:])
         data["diags"] = [diag0] + list(data["diags"][1:])
         return self.vcycle_pure(data, 0, b)
+
+
+class PGBlockGMG:
+    """Block preconditioner for the LVPP (u, psi) saddle Jacobian —
+    the reference's PGPreconditioner structure (pg.hpp:378-504) with
+    geometric multigrid in place of BoomerAMG:
+
+        M = blockdiag( GMG-V-cycle on the primal (stiffness) block,
+                       |diag|^{-1} on the latent block ).
+
+    ``gmg`` is a GMG built on primal-space forms discretizing the
+    objective energy (its states stay frozen — the objective block of the
+    PG Jacobian is the plain objective Hessian); the latent |diag| comes
+    from the current Newton state of the saddle form, so the alpha- and
+    psi-dependent entropy weighting is always fresh.
+    """
+
+    def __init__(self, gmg: GMG, form, latent_block: int = 1):
+        self.gmg = gmg
+        self.form = form
+        self.n0 = int(form.offsets[latent_block])
+
+    def as_preconditioner(self):
+        def make(form, state):
+            d = jnp.abs(form.grad_diag(state))
+            data = self.gmg.pdata()
+
+            def M(r):
+                zu = self.gmg.vcycle_pure(data, 0, r[: self.n0])
+                zp = r[self.n0 :] / jnp.where(
+                    d[self.n0 :] < 1e-300, 1.0, d[self.n0 :]
+                )
+                return jnp.concatenate([zu, zp])
+
+            return M
+
+        make.fused_precond = self
+        return make
+
+    # -- fused-step protocol ----------------------------------------------
+    def fused_pdata(self):
+        return self.gmg.pdata()
+
+    def fused_apply(self, data, state, diag, r):
+        d = jnp.abs(diag[self.n0 :])
+        zu = self.gmg.vcycle_pure(data, 0, r[: self.n0])
+        zp = r[self.n0 :] / jnp.where(d < 1e-300, 1.0, d)
+        return jnp.concatenate([zu, zp])
 
 
 def build_hierarchy(build_fn, n0: int, levels: int):

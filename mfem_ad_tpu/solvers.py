@@ -269,10 +269,10 @@ def _fused_newton_step(form, opts: "NewtonOptions"):
     GMG preconditioners (multigrid.GMG.as_preconditioner) participate via
     the fused protocol: their level data is the extra ``pdata`` argument.
     """
-    gmg = getattr(opts.preconditioner, "fused_gmg", None)
+    fp = getattr(opts.preconditioner, "fused_precond", None)
     key = (
         "newton_step", opts.lin_solver, opts.lin_tol, opts.lin_maxiter,
-        id(gmg) if gmg is not None else opts.preconditioner, opts.damping,
+        id(fp) if fp is not None else opts.preconditioner, opts.damping,
     )
 
     def step(tables, ess, x, b, fields, pdata):
@@ -281,9 +281,9 @@ def _fused_newton_step(form, opts: "NewtonOptions"):
         state = form.grad_state_raw(tables, x, fields)
         mv = lambda v: form.grad_mult_raw(tables, ess, state, v)  # noqa: E731
         M = None
-        if gmg is not None:
+        if fp is not None:
             d0 = form.grad_diag_raw(tables, ess, state)
-            M = lambda v: gmg.fused_vcycle(pdata, state, d0, v)  # noqa: E731
+            M = lambda v: fp.fused_apply(pdata, state, d0, v)  # noqa: E731
         elif opts.preconditioner == "jacobi":
             d = jnp.abs(form.grad_diag_raw(tables, ess, state))
             safe = jnp.where(d < 1e-300, 1.0, d)
@@ -310,14 +310,14 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
     else:
         b = jnp.asarray(b, dtype=x.dtype)
 
-    gmg = getattr(opts.preconditioner, "fused_gmg", None)
+    fp = getattr(opts.preconditioner, "fused_precond", None)
     fused = (
         isinstance(opts.lin_solver, str)
         and opts.lin_solver in _KRYLOV
-        and (opts.preconditioner in (None, "jacobi") or gmg is not None)
+        and (opts.preconditioner in (None, "jacobi") or fp is not None)
     )
     step = _fused_newton_step(form, opts) if fused else None
-    pdata = gmg.fused_pdata() if gmg is not None else ()
+    pdata = fp.fused_pdata() if fp is not None else ()
 
     hist = []
     norm0 = None

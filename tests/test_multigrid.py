@@ -107,3 +107,43 @@ def test_gmg_elasticity_vdim():
     x = cg(mv, b, M=gmg, tol=1e-30, maxiter=25)
     rel = float(jnp.linalg.norm(b - mv(x)) / jnp.linalg.norm(b))
     assert rel < 1e-9
+
+
+def test_pg_block_gmg_applies():
+    """PGBlockGMG (the reference PGPreconditioner structure, pg.hpp:378-504)
+    is SPD-applicable and accelerates MINRES on a mild (small-alpha) LVPP
+    saddle system.  (At large alpha the saddle conditioning defeats any
+    block-diagonal preconditioner — the reference's own PGPreconditioner
+    is commented out in its examples for the same reason; use
+    make_pg_schur_solver or the dense path there.)"""
+    from mfem_ad_tpu.models import obstacle
+    from mfem_ad_tpu.multigrid import PGBlockGMG
+    from mfem_ad_tpu.solvers import minres
+
+    pb = obstacle.build(order=1, ref_levels=1)
+    form = pb.form
+
+    def build_primal(n):
+        m = M.make_cartesian_2d(n, n)
+        fes = FESpace(m, 2)
+        f = NonlinearForm(fes)
+        f.add_ad_integrator(DiffusionEnergy(2), ADEval.GRAD)
+        f.set_essential_bc([np.ones(m.max_bdr_attribute())])
+        return f
+
+    gmg = GMG(build_hierarchy(build_primal, 10, 2))
+    pgp = PGBlockGMG(gmg, form, latent_block=1)
+    fields = {
+        "alpha": jnp.asarray(0.1),
+        "latent_k0": jnp.zeros(pb.latent_space.ndof),
+    }
+    state = form.grad_state(jnp.zeros(form.ndof), fields)
+    rng = np.random.default_rng(0)
+    b = jnp.where(
+        form.ess_mask, 0.0, jnp.asarray(rng.standard_normal(form.ndof))
+    )
+    mv = lambda v: form.grad_mult(state, v)  # noqa: E731
+    prec = pgp.as_preconditioner()(form, state)
+    x = minres(mv, b, M=prec, tol=1e-12, maxiter=300)
+    rel = float(jnp.linalg.norm(b - mv(x)) / jnp.linalg.norm(b))
+    assert rel < 1e-8
