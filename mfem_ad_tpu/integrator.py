@@ -69,6 +69,12 @@ def _dedup_elements(arr: np.ndarray) -> np.ndarray:
     return arr
 
 
+def _ne_nq(t) -> tuple:
+    """(n_elem, n_qp) of a tables bundle; w may be element-shared [1, nq]."""
+    ne = t["edof"][0].shape[0]
+    return ne, t["w"].shape[1]
+
+
 def _space_gridmeta(space):
     """Static metadata for the gather-free dof exchange of a space.
 
@@ -281,7 +287,7 @@ class ADBlockIntegrator:
             )
             for s, m in zip(spaces, modes)
         )
-        w = jnp.asarray(gf.w, dtype=dtype)
+        w = jnp.asarray(_dedup_elements(np.asarray(gf.w)), dtype=dtype)
         edof = tuple(jnp.asarray(s.edof, dtype=jnp.int32) for s in spaces)
 
         # ---- parameters: static (tabulated now) vs field-backed (traced)
@@ -365,7 +371,7 @@ class ADBlockIntegrator:
     # ------------------------------------------------------------------
     def eval_params(self, fields: dict, tables=None, fast: bool = True) -> dict:
         t = tables or self.tables
-        ne, nq = t["w"].shape
+        ne, nq = _ne_nq(t)
         p = dict(t["static"])
         for name, kind in self.field_kinds.items():
             if name not in fields:
@@ -431,7 +437,7 @@ class ADBlockIntegrator:
         """Stacked per-qp input x [ne, nq, n_input] (x = B^T u per space,
         component-major within a space — ad_intg.hpp:242,:304)."""
         t = tables or self.tables
-        ne, nq = t["w"].shape
+        ne, nq = _ne_nq(t)
         xs = []
         for s in range(len(self.spaces)):
             ue = self.gather(s, ublocks[s], t, fast)
@@ -498,7 +504,7 @@ class ADBlockIntegrator:
     def diagonal(self, Hq, tables=None, fast: bool = True):
         """Per-block diagonal of the assembled Jacobian (for Jacobi PC)."""
         t = tables or self.tables
-        ne, nq = t["w"].shape
+        ne, nq = _ne_nq(t)
         out = []
         for s in range(len(self.spaces)):
             o = self.x_off[s]
@@ -518,7 +524,7 @@ class ADBlockIntegrator:
         (ad_intg.hpp:700-727); byNODES flat layout (v*nd + d).
         """
         t = tables or self.tables
-        ne, nq = t["w"].shape
+        ne, nq = _ne_nq(t)
         os_, ot = self.x_off[s], self.x_off[t_]
         nde_s = self.vdim[s] * self.nd[s]
         nde_t = self.vdim[t_] * self.nd[t_]
@@ -567,7 +573,7 @@ class ADBlockIntegrator:
         function's domain (no NaN from out-of-domain zero inputs).
         """
         t = self.tables
-        ne = t["w"].shape[0]
+        ne = _ne_nq(t)[0]
         pad = (-ne) % n_shards
         if pad == 0:
             return t
@@ -578,8 +584,11 @@ class ADBlockIntegrator:
             rep = jnp.repeat(a[:1], pad, axis=0)
             return jnp.concatenate([a, rep], axis=0)
 
+        # zero-weight padding requires per-element w: materialize a shared
+        # [1, nq] table before padding
+        w_full = jnp.broadcast_to(t["w"], (ne, t["w"].shape[1]))
         w = jnp.concatenate(
-            [t["w"], jnp.zeros((pad, t["w"].shape[1]), t["w"].dtype)], axis=0
+            [w_full, jnp.zeros((pad, w_full.shape[1]), w_full.dtype)], axis=0
         )
         out = {
             "B": tuple(padel(b) for b in t["B"]),

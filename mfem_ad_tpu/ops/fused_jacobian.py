@@ -161,7 +161,7 @@ def element_jacobian_via_pallas(intg, ublocks, interpret: bool = False,
     """Drop-in fused replacement for
     ``intg.element_matrices(intg.hess_state(ublocks), 0, 0)``."""
     t = intg.tables
-    ne = t["w"].shape[0]
+    ne = t["edof"][0].shape[0]
     ue = intg.gather(0, ublocks[0], t)  # [ne, nd, vdim]
     ue2 = ue.transpose(0, 2, 1).reshape(ne, -1)
     params = {k: v[0] for k, v in t["static"].items()}  # [nq, k]

@@ -45,7 +45,7 @@ def _table_specs(tables, axis: str):
     count is sharded over ``axis``; element-shared tables (leading dim 1,
     see integrator._dedup_elements) and per-qp-only tables replicate.
     """
-    ne = (tables["w"] if "w" in tables else tables["wn"][0]).shape[0]
+    ne = (tables["edof"][0] if "edof" in tables else tables["wn"][0]).shape[0]
 
     def spec(leaf):
         return P(axis) if (leaf.ndim >= 1 and leaf.shape[0] == ne) else P()
