@@ -28,9 +28,11 @@ def _load():
     _tried = True
     if os.environ.get("MFEM_AD_TPU_NO_NATIVE"):
         return None
-    if not os.path.exists(_LIB_PATH) and os.path.exists(
-        os.path.join(_DIR, "meshkit.cc")
-    ):
+    src = os.path.join(_DIR, "meshkit.cc")
+    stale = os.path.exists(_LIB_PATH) and os.path.exists(src) and (
+        os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if (not os.path.exists(_LIB_PATH) or stale) and os.path.exists(src):
         try:
             subprocess.run(
                 ["make", "-C", _DIR], check=True,

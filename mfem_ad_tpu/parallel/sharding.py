@@ -224,9 +224,14 @@ class ShardedForm:
         return fn(self._tables(), self.ess_mask, state)
 
     def assemble_dense(self, state):
-        """Direct-solver fallback: gather state and use the serial path."""
+        """Direct-solver fallback: gather state and use the serial path.
+
+        The padded element axis is trimmed by the TRUE element count from
+        edof (never element-deduped); ``w`` may be shared with shape
+        [1, nq] on uniform meshes and must not be used for the trim.
+        """
         serial_state = [
-            np.asarray(Hq)[: intg.tables["w"].shape[0]]
+            np.asarray(Hq)[: intg.tables["edof"][0].shape[0]]
             for intg, Hq in zip(self.form.integrators, state)
         ]
         return self.form.assemble_dense(serial_state)

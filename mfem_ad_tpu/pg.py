@@ -318,7 +318,8 @@ class PGSolver:
                 x = jnp.asarray(arrays["x"])
                 if "lam_prev" in arrays:
                     lam_prev = jnp.asarray(arrays["lam_prev"])
-                start_it = int(meta["iteration"]) + 1
+                if meta is not None and "iteration" in meta:
+                    start_it = int(meta["iteration"]) + 1
                 if self.verbose:
                     print(f"PG resume from iteration {start_it}")
         for it in range(start_it, self.max_iter):

@@ -155,6 +155,12 @@ def make_pg_schur_solver(latent_block: int = 1, tol: float = 1e-12,
         intg = form.integrators[0]
         off = form.offsets
         lb = latent_block
+        if len(off) != 3 or lb != len(off) - 2:
+            raise ValueError(
+                "make_pg_schur_solver requires a 2-block (primal, latent) "
+                f"system with the latent block last; got {len(off) - 1} "
+                f"blocks, latent_block={lb}"
+            )
         n0, n1 = off[lb], off[lb + 1] - off[lb]
         Hq = state[0]
 

@@ -92,3 +92,20 @@ def test_sharded_pg_obstacle(eight_devices):
     mirror = 0.5 / (1.0 + np.exp(-0.5 * psi))
     assert mirror.min() >= 0.0 and mirror.max() <= 0.5
     assert u.max() > 0.49  # constraint active somewhere
+
+
+def test_sharded_assemble_dense_structured(eight_devices):
+    """Dense fallback over a ShardedForm on a uniform (element-deduped)
+    mesh: the padded-state trim must use the true element count (edof),
+    not the shape of the element-shared w table."""
+    pb = obstacle.build(order=1, ref_levels=0)
+    sf = ShardedForm(pb.form)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(0.1 * rng.standard_normal(pb.form.ndof))
+    fields = {
+        "alpha": jnp.asarray(1.0),
+        "latent_k0": jnp.zeros(pb.latent_space.ndof),
+    }
+    A_serial = pb.form.assemble_dense(pb.form.grad_state(u, fields))
+    A_sharded = sf.assemble_dense(sf.grad_state(u, fields))
+    assert np.allclose(A_serial, A_sharded, atol=1e-12)

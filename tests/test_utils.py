@@ -76,3 +76,16 @@ def test_mesh_ascii_roundtrip(tmp_path):
     assert m2.num_elements == m.num_elements
     assert np.allclose(m2.vertices, m.vertices)
     assert np.array_equal(np.sort(m2.elements, axis=1), np.sort(m.elements, axis=1))
+
+
+def test_checkpoint_corrupt_sidecar(tmp_path):
+    """A truncated/corrupt JSON sidecar must not break resume (meta=None)."""
+    from mfem_ad_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    path = str(tmp_path / "ck")
+    final = save_checkpoint(path, {"x": np.arange(4.0)}, meta={"iteration": 7})
+    with open(final + ".json", "w") as f:
+        f.write('{"iterat')  # simulate a crash mid-write
+    arrays, meta = load_checkpoint(path)
+    assert np.allclose(arrays["x"], np.arange(4.0))
+    assert meta is None
