@@ -4,6 +4,12 @@ Prints the AD gradient/Hessian/Jacobian/vector-Hessian against hand-coded
 closed forms and the max-norm errors (ex0.cpp:100-162).
 """
 
+# Allow running uninstalled: `python examples/exN.py` from a source checkout.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax.numpy as jnp

@@ -4,6 +4,12 @@
 exact solution (ex1.cpp:70-75).
 """
 
+# Allow running uninstalled: `python examples/exN.py` from a source checkout.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 from mfem_ad_tpu.models import poisson

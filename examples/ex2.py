@@ -3,6 +3,12 @@
 Energy sqrt(1+||grad u||²) + ε||grad u||², 30 ε-continuation passes with
 ε halved each time (ex2.cpp:94-99); Newton tol 1e-10."""
 
+# Allow running uninstalled: `python examples/exN.py` from a source checkout.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 from mfem_ad_tpu.models import minimal_surface

@@ -3,6 +3,12 @@
 LinearElasticityEnergy with GRAD|VECTOR mode, unit body load, clamped on
 boundary attribute 4; single linear solve (ex3.cpp:70-74)."""
 
+# Allow running uninstalled: `python examples/exN.py` from a source checkout.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -7,6 +7,12 @@ ex4.cpp:52-72 and the lambda-increment stopping rule (ex4.cpp:203-218).
 Reference smoke invocation (test.sh:9): -rule 2 -a0 0.1 -ar 2
 """
 
+# Allow running uninstalled: `python examples/exN.py` from a source checkout.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np
@@ -25,8 +31,11 @@ def main():
     ap.add_argument("-a0", "--alpha0", type=float, default=1.0)
     ap.add_argument("-ar", "--alpha-ratio", type=float, default=1.0)
     ap.add_argument("-ar2", "--alpha-ratio2", type=float, default=1.0)
-    ap.add_argument("--solver", default="dense",
-                    choices=["dense", "minres", "gmres"])
+    ap.add_argument("--solver", default="schur",
+                    choices=["schur", "dense", "minres", "gmres"],
+                    help="schur = exact latent elimination + Jacobi-CG "
+                         "(the scalable TPU default; 'dense' mirrors the "
+                         "reference's MUMPS exactness on small problems)")
     ap.add_argument("-pv", "--paraview", action="store_true")
     args = ap.parse_args()
 

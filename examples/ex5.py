@@ -4,6 +4,12 @@
 H1(p) x H1(p-1)^dim triangle-mesh spaces; lambda tolerance 1e-8
 (ex5.cpp:198)."""
 
+# Allow running uninstalled: `python examples/exN.py` from a source checkout.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -11,6 +11,12 @@ solves with the same ``newton`` driver.  Run on CPU with
 to emulate the reference's ``mpirun -np 8``.
 """
 
+# Allow running uninstalled: `python examples/exN.py` from a source checkout.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import jax

@@ -6,6 +6,12 @@ writing a new driver, mirroring the reference's template structure
 (template/template.cpp:1-90).
 """
 
+# Allow running uninstalled: `python examples/exN.py` from a source checkout.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

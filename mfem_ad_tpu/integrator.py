@@ -368,7 +368,60 @@ class ADBlockIntegrator:
 
     # ------------------------------------------------------------------
     # core compute (pure in `tables`; safe to call inside shard_map)
+    #
+    # ``fast`` selects the dof-exchange path:
+    #   True              gather-free strided slices / dilated pads
+    #   False             generic edof gather / scatter-add
+    #   ("shard", ax, K)  sharded fast path (inside shard_map over a K-way
+    #                     element axis named ``ax``): dof vectors are
+    #                     replicated, so each shard runs the full
+    #                     strided-slice gather (bandwidth-only) and
+    #                     dynamic-slices its contiguous element chunk by
+    #                     lax.axis_index; scatter embeds the chunk into the
+    #                     full element range and runs the dilated-pad
+    #                     scatter — one caller-side psum completes assembly.
+    #                     Requires unpadded tables (ne % K == 0).
     # ------------------------------------------------------------------
+    def _gather_any(self, u, meta, vdim, nd, nds, edof, fast):
+        if isinstance(fast, tuple):
+            _, axis, K = fast
+            ue = _fast_gather(u, meta, vdim, nd)
+            if ue is not None:
+                ne_local = ue.shape[0] // K
+                k = jax.lax.axis_index(axis)
+                return jax.lax.dynamic_slice_in_dim(
+                    ue, k * ne_local, ne_local, axis=0
+                )
+            fast = False  # generic gather with the local edof shard
+        if fast:
+            ue = _fast_gather(u, meta, vdim, nd)
+            if ue is not None:
+                return ue
+        idx = edof[:, :, None] + jnp.arange(vdim) * nds
+        return u[idx]
+
+    def _scatter_any(self, re, meta, vdim, nd, nds, ndof, edof, fast):
+        if isinstance(fast, tuple):
+            _, axis, K = fast
+            if meta is not None:
+                ne_local = re.shape[0]
+                k = jax.lax.axis_index(axis)
+                full = jnp.zeros(
+                    (ne_local * K,) + re.shape[1:], dtype=re.dtype
+                )
+                full = jax.lax.dynamic_update_slice_in_dim(
+                    full, re, k * ne_local, axis=0
+                )
+                return _fast_scatter(full, meta, vdim, nd)
+            fast = False
+        if fast:
+            out = _fast_scatter(re, meta, vdim, nd)
+            if out is not None:
+                return out
+        idx = edof[:, :, None] + jnp.arange(vdim) * nds
+        out = jnp.zeros(ndof, dtype=re.dtype)
+        return out.at[idx].add(re)
+
     def eval_params(self, fields: dict, tables=None, fast: bool = True) -> dict:
         t = tables or self.tables
         ne, nq = _ne_nq(t)
@@ -382,10 +435,9 @@ class ADBlockIntegrator:
                 _, vdim, nsc, nd_f, meta = kind
                 edof, phi = t["field"][name]
                 u = jnp.asarray(fields[name], dtype=self.dtype)
-                ue = _fast_gather(u, meta if fast else None, vdim, nd_f)
-                if ue is None:
-                    idx = edof[:, :, None] + jnp.arange(vdim) * nsc
-                    ue = u[idx]  # [ne, nd, vdim]
+                ue = self._gather_any(
+                    u, meta, vdim, nd_f, nsc, edof, fast
+                )  # [ne, nd, vdim]
                 p[name] = jnp.einsum("qd,edv->eqv", phi, ue)
             else:
                 _, size = kind
@@ -410,12 +462,10 @@ class ADBlockIntegrator:
         """
         t = tables or self.tables
         u = jnp.asarray(u, dtype=self.dtype)
-        meta = self._gridmeta[s] if fast else None
-        ue = _fast_gather(u, meta, self.vdim[s], self.nd[s])
-        if ue is not None:
-            return ue
-        idx = t["edof"][s][:, :, None] + jnp.arange(self.vdim[s]) * self.nds[s]
-        return u[idx]
+        return self._gather_any(
+            u, self._gridmeta[s], self.vdim[s], self.nd[s], self.nds[s],
+            t["edof"][s], fast,
+        )
 
     def scatter(self, s: int, re, tables=None, fast: bool = True):
         """Scatter-add element values [ne, nd, vdim] into block-s dofs.
@@ -425,13 +475,10 @@ class ADBlockIntegrator:
         inverse of a strided slice) — no scatter op, fully vectorized.
         """
         t = tables or self.tables
-        meta = self._gridmeta[s] if fast else None
-        out = _fast_scatter(re, meta, self.vdim[s], self.nd[s])
-        if out is not None:
-            return out
-        idx = t["edof"][s][:, :, None] + jnp.arange(self.vdim[s]) * self.nds[s]
-        out = jnp.zeros(self.spaces[s].ndof, dtype=re.dtype)
-        return out.at[idx].add(re)
+        return self._scatter_any(
+            re, self._gridmeta[s], self.vdim[s], self.nd[s], self.nds[s],
+            self.spaces[s].ndof, t["edof"][s], fast,
+        )
 
     def x_qp(self, ublocks, tables=None, fast: bool = True) -> jnp.ndarray:
         """Stacked per-qp input x [ne, nq, n_input] (x = B^T u per space,

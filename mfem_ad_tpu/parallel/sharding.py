@@ -85,6 +85,17 @@ class ShardedForm:
         self.tables = [
             self._place(t, sp) for t, sp in zip(self.tables, self.specs)
         ]
+        # The structured gather-free fast path works under shard_map when
+        # the element axis needs no copy-padding (each shard's chunk is a
+        # contiguous element range of the lexicographic ordering); see
+        # integrator._gather_any/_scatter_any ("shard" mode).  Otherwise
+        # fall back to the generic edof gather per integrator.
+        self.fast = [
+            ("shard", axis_name, self.n_devices)
+            if intg.tables["edof"][0].shape[0] % self.n_devices == 0
+            else False
+            for intg in form.integrators
+        ]
         self._jit_cache: dict[str, object] = {}
 
     def _place(self, t, sp):
@@ -131,8 +142,10 @@ class ShardedForm:
     def energy_raw(self, tables, u, fields):
         def local(tables, u, fields):
             e = sum(
-                intg.energy(self.form.split(u), fields, t, fast=False)
-                for intg, t in zip(self.form.integrators, tables)
+                intg.energy(self.form.split(u), fields, t, fast=f)
+                for intg, t, f in zip(
+                    self.form.integrators, tables, self.fast
+                )
             )
             return jax.lax.psum(e, self.axis_name)
 
@@ -144,8 +157,8 @@ class ShardedForm:
     def mult_raw(self, tables, ess, u, fields):
         def local(tables, u, fields):
             acc = jnp.zeros(self.form.ndof, dtype=u.dtype)
-            for intg, t in zip(self.form.integrators, tables):
-                rs = intg.residual(self.form.split(u), fields, t, fast=False)
+            for intg, t, f in zip(self.form.integrators, tables, self.fast):
+                rs = intg.residual(self.form.split(u), fields, t, fast=f)
                 acc = acc + jnp.concatenate(rs)
             return jax.lax.psum(acc, self.axis_name)
 
@@ -160,8 +173,10 @@ class ShardedForm:
 
         def local(tables, u, fields):
             return tuple(
-                intg.hess_state(self.form.split(u), fields, t, fast=False)
-                for intg, t in zip(self.form.integrators, tables)
+                intg.hess_state(self.form.split(u), fields, t, fast=f)
+                for intg, t, f in zip(
+                    self.form.integrators, tables, self.fast
+                )
             )
 
         return shard_map(
@@ -175,8 +190,10 @@ class ShardedForm:
             acc = jnp.zeros(self.form.ndof, dtype=v.dtype)
             v0 = jnp.where(ess, 0.0, v)
             blocks = self.form.split(v0)
-            for intg, t, Hq in zip(self.form.integrators, tables, state):
-                ys = intg.hess_mult(Hq, blocks, t, fast=False)
+            for intg, t, Hq, f in zip(
+                self.form.integrators, tables, state, self.fast
+            ):
+                ys = intg.hess_mult(Hq, blocks, t, fast=f)
                 acc = acc + jnp.concatenate(ys)
             return jax.lax.psum(acc, self.axis_name)
 
@@ -190,8 +207,10 @@ class ShardedForm:
     def grad_diag_raw(self, tables, ess, state):
         def local(tables, state):
             acc = jnp.zeros(self.form.ndof)
-            for intg, t, Hq in zip(self.form.integrators, tables, state):
-                ds = intg.diagonal(Hq, t, fast=False)
+            for intg, t, Hq, f in zip(
+                self.form.integrators, tables, state, self.fast
+            ):
+                ds = intg.diagonal(Hq, t, fast=f)
                 acc = acc + jnp.concatenate(ds)
             return jax.lax.psum(acc, self.axis_name)
 

@@ -126,6 +126,95 @@ _KRYLOV = {"cg": cg, "gmres": gmres, "minres": minres}
 # ---------------------------------------------------------------------------
 
 
+def _batched_inv_small(A):
+    """Inverse of a batch of small SPD matrices [e, n, n] via unrolled
+    Gauss-Jordan — plain arithmetic only, because the TPU compiler's
+    LuDecomposition expansion (jnp.linalg.inv) supports F32 only and the
+    Newton path runs in f64.  No pivoting: callers pass SPD blocks with a
+    relative diagonal shift already applied.
+    """
+    n = A.shape[-1]
+    if n == 1:
+        return 1.0 / A
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    M = jnp.concatenate([A, eye], axis=-1)  # [e, n, 2n]
+    for k in range(n):
+        row_k = M[:, k, :] / M[:, k, k][:, None]  # [e, 2n]
+        M = M - M[:, :, k][:, :, None] * row_k[:, None, :]
+        M = M.at[:, k, :].set(row_k)
+    return M[..., n:]
+
+
+def _schur_solve_traced(form, tables, ess, state, r, tol: float,
+                        maxiter: int, reg: float = 1e-10,
+                        jacobi: bool = True):
+    """Traced (jit-safe) Schur reduction of the 2-block LVPP saddle Jacobian
+    [[A, C], [C^T, -D]] with an element-block-diagonal latent block D
+    (L2 latent: dofs never couple across elements).  Eliminates the latent
+    exactly and solves the SPD condensed system with Jacobi-CG.  See
+    ``make_pg_schur_solver`` for the math; this variant takes tables/ess as
+    traced arguments so solvers can fuse it into a single jitted Newton
+    step (eager per-matvec dispatch costs ~15-60 ms/call through the
+    tunneled TPU).
+    """
+    intg = form.integrators[0]
+    off = form.offsets
+    lb = len(off) - 2
+    ub = lb - 1
+    n0, n1 = int(off[lb]), int(off[lb + 1] - off[lb])
+    Hq = state[0]
+    t = tables[0]
+
+    De = -intg.element_matrices(Hq, lb, lb, tables=t)  # [ne, ndl, ndl] SPD
+    ne, ndl, _ = De.shape
+    # E*'' underflows where the mirror map saturates (active set); a tiny
+    # relative shift keeps the condensed system solvable.
+    dmax = jnp.max(jnp.abs(De))
+    eye = jnp.eye(ndl, dtype=De.dtype)
+    De_inv = _batched_inv_small(De + (reg * dmax) * eye)
+
+    def Dinv(w):  # L2 dofs are element-contiguous: pure reshape
+        we = w.reshape(ne, ndl)
+        ze = jnp.einsum("eij,ej->ei", De_inv, we)
+        return ze.reshape(-1)
+
+    def pad_u(v):
+        return jnp.concatenate([v, jnp.zeros(n1, v.dtype)])
+
+    def pad_p(w):
+        return jnp.concatenate([jnp.zeros(n0, w.dtype), w])
+
+    def mv(v):
+        return form.grad_mult_raw(tables, ess, state, v)
+
+    def S(v):
+        Jv = mv(pad_u(v))
+        Av, Ctv = Jv[:n0], Jv[n0:]
+        Cw = mv(pad_p(Dinv(Ctv)))[:n0]
+        return Av + Cw
+
+    M = None
+    if jacobi:
+        # diag(S) = diag(A) + diag(C D^{-1} C^T); the second term dominates
+        # as alpha grows (D ~ E*''/alpha -> 0 on the active set).
+        d = jnp.abs(form.grad_diag_raw(tables, ess, state)[:n0])
+        Ce = intg.element_matrices(Hq, ub, lb, tables=t)  # [ne, nde_u, ndl]
+        dS = jnp.einsum("eij,ejk,eik->ei", Ce, De_inv, Ce)
+        sp_u = form.spaces[ub]
+        # byNODES flat rows (v, d) = v*nd + d -> [ne, nd, vdim] for scatter
+        dS3 = dS.reshape(ne, sp_u.vdim, sp_u.nd).transpose(0, 2, 1)
+        d = d + intg.scatter(ub, dS3, t)
+        safe = jnp.where(d < 1e-300, 1.0, d)
+        M = lambda v: v / safe  # noqa: E731
+
+    r_u, r_p = r[:n0], r[n0:]
+    rhs = r_u + mv(pad_p(Dinv(r_p)))[:n0]
+    du = cg(S, rhs, M=M, tol=tol, maxiter=maxiter)
+    Ct_du = mv(pad_u(du))[n0:]
+    dp = Dinv(Ct_du - r_p)
+    return jnp.concatenate([du, dp])
+
+
 def make_pg_schur_solver(latent_block: int = 1, tol: float = 1e-12,
                          maxiter: int = 2000, jacobi: bool = True,
                          reg: float = 1e-10):
@@ -152,74 +241,21 @@ def make_pg_schur_solver(latent_block: int = 1, tol: float = 1e-12,
     """
 
     def solve(form, state, r):
-        intg = form.integrators[0]
         off = form.offsets
-        lb = latent_block
-        if len(off) != 3 or lb != len(off) - 2:
+        if len(off) != 3 or latent_block != len(off) - 2:
             raise ValueError(
                 "make_pg_schur_solver requires a 2-block (primal, latent) "
                 f"system with the latent block last; got {len(off) - 1} "
-                f"blocks, latent_block={lb}"
+                f"blocks, latent_block={latent_block}"
             )
-        n0, n1 = off[lb], off[lb + 1] - off[lb]
-        Hq = state[0]
-
-        # element-block-diagonal latent block: D_e = -d2L/dpsi2 elementwise
-        De = -intg.element_matrices(Hq, lb, lb)  # [ne, nd, nd], SPD
-        ne, ndl, _ = De.shape
-        # E*'' underflows where the mirror map saturates (the active set),
-        # making D_e numerically singular; a tiny relative shift keeps the
-        # condensed system solvable — the perturbed direction differs only
-        # where the latent is already converged.
-        dmax = jnp.max(jnp.abs(De))
-        eye = jnp.eye(ndl, dtype=De.dtype)
-        De_inv = jnp.linalg.inv(De + (reg * dmax) * eye)
-
-        def Dinv(w):  # L2 dofs are element-contiguous: pure reshape
-            we = w.reshape(ne, ndl)
-            ze = jnp.einsum("eij,ej->ei", De_inv, we)
-            return ze.reshape(-1)
-
-        def pad_u(v):
-            return jnp.concatenate([v, jnp.zeros(n1, v.dtype)])
-
-        def pad_p(w):
-            return jnp.concatenate([jnp.zeros(n0, w.dtype), w])
-
-        def S(v):
-            Jv = form.grad_mult(state, pad_u(v))
-            Av, Ctv = Jv[:n0], Jv[n0:]
-            Cw = form.grad_mult(state, pad_p(Dinv(Ctv)))[:n0]
-            return Av + Cw
-
-        M = None
-        if jacobi:
-            # diag(S) = diag(A) + diag(C D^{-1} C^T); the second term
-            # dominates as alpha grows (D ~ E*''/alpha -> 0 on the active
-            # set), so it must be in the preconditioner.  Exact per element:
-            # (C_e D_e^{-1} C_e^T)_ii scattered to u dofs.
-            ub = 1 - lb  # the primal block (2-block systems)
-            d = jnp.abs(form.grad_diag(state)[:n0])
-            Ce = intg.element_matrices(Hq, ub, lb)  # [ne, nde_u, ndl]
-            dS = jnp.einsum("eij,ejk,eik->ei", Ce, De_inv, Ce)
-            sp_u = form.spaces[ub]
-            edof = jnp.asarray(sp_u.edof, jnp.int32)
-            idx = (
-                edof[:, None, :]
-                + (jnp.arange(sp_u.vdim) * sp_u.ndof_scalar)[None, :, None]
-            ).reshape(ne, -1)  # byNODES (v, d) flat, matches Ce rows
-            d = d + jnp.zeros(n0, d.dtype).at[idx.reshape(-1)].add(
-                dS.reshape(-1)
-            )
-            safe = jnp.where(d < 1e-300, 1.0, d)
-            M = lambda v: v / safe  # noqa: E731
-
-        r_u, r_p = r[:n0], r[n0:]
-        rhs = r_u + form.grad_mult(state, pad_p(Dinv(r_p)))[:n0]
-        du = cg(S, rhs, M=M, tol=tol, maxiter=maxiter)
-        Ct_du = form.grad_mult(state, pad_u(du))[n0:]
-        dp = Dinv(Ct_du - r_p)
-        return jnp.concatenate([du, dp])
+        key = ("schur_solve", tol, maxiter, reg, jacobi)
+        fn = form._jit(
+            key,
+            lambda tables, ess, state, r: _schur_solve_traced(
+                form, tables, ess, state, r, tol, maxiter, reg, jacobi
+            ),
+        )
+        return fn(form._tables(), form.ess_mask, state, r)
 
     return solve
 
@@ -285,6 +321,11 @@ def _fused_newton_step(form, opts: "NewtonOptions"):
         r = form.mult_raw(tables, ess, x, fields) - b
         r = jnp.where(ess, 0.0, r)
         state = form.grad_state_raw(tables, x, fields)
+        if opts.lin_solver == "schur":
+            c = _schur_solve_traced(
+                form, tables, ess, state, r, opts.lin_tol, opts.lin_maxiter
+            )
+            return x - opts.damping * c
         mv = lambda v: form.grad_mult_raw(tables, ess, state, v)  # noqa: E731
         M = None
         if fp is not None:
@@ -322,6 +363,24 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
         and opts.lin_solver in _KRYLOV
         and (opts.preconditioner in (None, "jacobi") or fp is not None)
     )
+    if opts.lin_solver == "schur":
+        # the Schur reduction has its own internal Jacobi; it requires a
+        # 2-block (primal, latent-last) system with an L2 latent and no
+        # essential dofs on the latent block
+        off = form.offsets
+        if len(off) != 3:
+            raise ValueError("lin_solver='schur' needs a 2-block system")
+        if not hasattr(form, "integrators"):
+            raise ValueError(
+                "lin_solver='schur' runs on serial forms (element-block "
+                "access); use minres/cg on ShardedForm"
+            )
+        if bool(np.any(np.asarray(form.ess_mask)[int(off[1]):])):
+            raise ValueError(
+                "lin_solver='schur' requires no essential dofs on the "
+                "latent block"
+            )
+        fused = True
     step = _fused_newton_step(form, opts) if fused else None
     pdata = fp.fused_pdata() if fp is not None else ()
 

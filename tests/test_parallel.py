@@ -109,3 +109,43 @@ def test_sharded_assemble_dense_structured(eight_devices):
     A_serial = pb.form.assemble_dense(pb.form.grad_state(u, fields))
     A_sharded = sf.assemble_dense(sf.grad_state(u, fields))
     assert np.allclose(A_serial, A_sharded, atol=1e-12)
+
+
+def test_sharded_fast_path_matches_serial(eight_devices):
+    """When ne % n_devices == 0, ShardedForm uses the gather-free shard
+    mode (strided-slice gathers + dilated-pad scatters + one psum) —
+    results must match the serial fast path to machine precision,
+    including the gf-field (latent_k) gather of the mixed H1+L2 form."""
+    pb = obstacle.build(order=2, ref_levels=0, n0=8)  # 64 elements
+    sf = ShardedForm(pb.form)
+    assert sf.fast == [("shard", "elems", 8)]
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(0.1 * rng.standard_normal(pb.form.ndof))
+    fields = {
+        "alpha": jnp.asarray(1.0),
+        "latent_k0": jnp.asarray(
+            0.1 * rng.standard_normal(pb.latent_space.ndof)
+        ),
+    }
+    assert np.allclose(
+        np.asarray(pb.form.mult(u, fields)),
+        np.asarray(sf.mult(u, fields)),
+        atol=1e-13,
+    )
+    st_s = pb.form.grad_state(u, fields)
+    st_p = sf.grad_state(u, fields)
+    v = jnp.asarray(rng.standard_normal(pb.form.ndof))
+    assert np.allclose(
+        np.asarray(pb.form.grad_mult(st_s, v)),
+        np.asarray(sf.grad_mult(st_p, v)),
+        atol=1e-12,
+    )
+    assert np.allclose(
+        np.asarray(pb.form.grad_diag(st_s)),
+        np.asarray(sf.grad_diag(st_p)),
+        atol=1e-12,
+    )
+    assert np.isclose(
+        float(pb.form.energy(u, fields)), float(sf.energy(u, fields)),
+        atol=1e-12,
+    )
