@@ -133,7 +133,7 @@ class SiMPLTopopt:
         fields = {"rho": rho}
         st = self.form.grad_state(jnp.zeros_like(u0), fields)
         d = jnp.abs(self.form.grad_diag(st))
-        dsafe = jnp.where(d < 1e-300, 1.0, d)
+        dsafe = jnp.where(d < 1e-30, 1.0, d)
         u = cg(
             lambda v: self.form.grad_mult(st, v),
             self.rhs,
@@ -184,7 +184,7 @@ class SiMPLTopopt:
             c = float(self.rhs @ u)
             g = sens_fn(u, rho)
             # mirror-descent step in the latent variable (normalized)
-            gn = g / (jnp.abs(g).max() + 1e-300)
+            gn = g / (jnp.abs(g).max() + 1e-30)
             psi = psi - self.step * gn
             psi, rho = self._project_volume(psi)
             hist_c.append(c)

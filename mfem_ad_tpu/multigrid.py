@@ -21,9 +21,13 @@ Usage: build the same form on each level of a nested mesh hierarchy
     gmg = GMG([form_0, form_1, ..., form_L])
     opts = NewtonOptions(lin_solver="cg", preconditioner=gmg.as_preconditioner())
 
-Restricted to order-1 spaces on structured quad/hex meshes (where the
-conditioning problem lives); higher orders can be wrapped by p-coarsening
-to their Q1 subspace.
+Works for any order on structured quad/hex meshes: an order-p fine space
+p-coarsens to its Q1 subspace on the same mesh (the nodal grids are
+equispaced, so the exact Q1->Qp embedding is the same separable linear
+stencil with factor p — see ``_up1d``), then the geometric Q1 hierarchy
+takes over.  ``build_hp_hierarchy`` assembles that level list; this is the
+mesh- and order-independent role hypre BoomerAMG plays for the reference
+(pg.hpp:388-400).
 """
 
 from __future__ import annotations
@@ -39,11 +43,18 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
-def _up1d(a, axis: int):
-    """Linear prolongation along ``axis``: [.., Nc, ..] -> [.., 2Nc-1, ..]."""
+def _up1d(a, axis: int, p: int = 2):
+    """Linear prolongation by factor ``p`` along ``axis``:
+    [.., Nc, ..] -> [.., p(Nc-1)+1, ..].
+
+    p=2 is the classic geometric h-transfer.  p>2 is **p-coarsening**: the
+    order-p nodal dof grid is equispaced (basis nodes k/p), so the exact
+    embedding Q1 -> Qp (evaluate the Q1 field at the Qp nodes) is the same
+    separable linear-interpolation stencil with factor p.
+    """
     nd = a.ndim
     cfg = [(0, 0, 0)] * nd
-    cfg[axis] = (0, 0, 1)  # interior dilation: coarse values at even slots
+    cfg[axis] = (0, 0, p - 1)  # interior dilation: coarse values at kp slots
     z = jax.lax.pad(a, jnp.zeros((), a.dtype), cfg)
 
     def shift(x, by):
@@ -57,23 +68,31 @@ def _up1d(a, axis: int):
             sl[axis] = slice(-by, None)
         return jnp.pad(x[tuple(sl)], pad)
 
-    return z + 0.5 * (shift(z, 1) + shift(z, -1))
+    out = z
+    for j in range(1, p):
+        out = out + ((p - j) / p) * (shift(z, j) + shift(z, -j))
+    return out
 
 
-def _down1d(r, axis: int):
-    """Transpose of ``_up1d`` (full weighting): [.., Nf, ..] -> [.., (Nf+1)//2, ..]."""
+def _down1d(r, axis: int, p: int = 2):
+    """Transpose of ``_up1d`` (full weighting by factor ``p``):
+    [.., Nf, ..] -> [.., (Nf-1)//p + 1, ..]."""
     nd = r.ndim
-    sl_even = [slice(None)] * nd
-    sl_even[axis] = slice(0, None, 2)
-    sl_odd = [slice(None)] * nd
-    sl_odd[axis] = slice(1, None, 2)
-    even = r[tuple(sl_even)]
-    odd = r[tuple(sl_odd)]
-    pad_l = [(0, 0)] * nd
-    pad_l[axis] = (1, 0)
-    pad_r = [(0, 0)] * nd
-    pad_r[axis] = (0, 1)
-    return even + 0.5 * (jnp.pad(odd, pad_l) + jnp.pad(odd, pad_r))
+    sl = [slice(None)] * nd
+    sl[axis] = slice(0, None, p)
+    out = r[tuple(sl)]
+    for j in range(1, p):
+        sl_j = [slice(None)] * nd
+        sl_j[axis] = slice(j, None, p)
+        s = r[tuple(sl_j)]  # fine nodes at coarse offset j/p: [.., Nc-1, ..]
+        pad_l = [(0, 0)] * nd
+        pad_l[axis] = (1, 0)
+        pad_r = [(0, 0)] * nd
+        pad_r[axis] = (0, 1)
+        out = out + ((p - j) / p) * jnp.pad(s, pad_r) + (j / p) * jnp.pad(
+            s, pad_l
+        )
+    return out
 
 
 def _grid_shape(space):
@@ -105,13 +124,19 @@ class GMG:
         sp0 = self.forms[0].spaces[0]
         self.vdim = sp0.vdim
         self.shapes = [_grid_shape(f.spaces[0]) for f in self.forms]
+        # per-pair transfer factor: 2 = geometric h-coarsening, p > 2 =
+        # p-coarsening (order-p space -> its Q1 subspace on the same mesh)
+        self.factors = []
         for fine, coarse in zip(self.shapes, self.shapes[1:]):
+            fac = (fine[0] - 1) // (coarse[0] - 1)
             for nf, nc in zip(fine, coarse):
-                if nf != 2 * nc - 1:
+                if fac < 2 or nf != fac * (nc - 1) + 1:
                     raise ValueError(
                         f"levels not nested: fine grid {fine} vs coarse "
-                        f"{coarse} (need Nf = 2 Nc - 1)"
+                        f"{coarse} (need Nf = f(Nc-1)+1 for an integer "
+                        "factor f >= 2 on every axis)"
                     )
+            self.factors.append(fac)
         if x_levels is None:
             x_levels = [jnp.zeros(f.ndof) for f in self.forms]
         self.states = [
@@ -135,7 +160,7 @@ class GMG:
         """coarse level lvl+1 -> fine level lvl."""
         g = self._to_grid(lvl + 1, uc)
         for ax in self._axes(lvl + 1):
-            g = _up1d(g, ax)
+            g = _up1d(g, ax, self.factors[lvl])
         out = g.reshape(-1)
         return jnp.where(self.forms[lvl].ess_mask, 0.0, out)
 
@@ -143,7 +168,7 @@ class GMG:
         """fine level lvl -> coarse level lvl+1."""
         g = self._to_grid(lvl, rf)
         for ax in self._axes(lvl):
-            g = _down1d(g, ax)
+            g = _down1d(g, ax, self.factors[lvl])
         out = g.reshape(-1)
         return jnp.where(self.forms[lvl + 1].ess_mask, 0.0, out)
 
@@ -165,7 +190,7 @@ class GMG:
     def _smooth(self, data, lvl, x, b):
         form = self.forms[lvl]
         d = data["diags"][lvl]
-        safe = jnp.where(jnp.abs(d) < 1e-300, 1.0, d)
+        safe = jnp.where(jnp.abs(d) < 1e-30, 1.0, d)
         for _ in range(self.nu):
             r = b - form.grad_mult_raw(
                 data["tables"][lvl], data["ess"][lvl], data["states"][lvl], x
@@ -250,7 +275,7 @@ class PGBlockGMG:
             def M(r):
                 zu = self.gmg.vcycle_pure(data, 0, r[: self.n0])
                 zp = r[self.n0 :] / jnp.where(
-                    d[self.n0 :] < 1e-300, 1.0, d[self.n0 :]
+                    d[self.n0 :] < 1e-30, 1.0, d[self.n0 :]
                 )
                 return jnp.concatenate([zu, zp])
 
@@ -266,7 +291,7 @@ class PGBlockGMG:
     def fused_apply(self, data, state, diag, r):
         d = jnp.abs(diag[self.n0 :])
         zu = self.gmg.vcycle_pure(data, 0, r[: self.n0])
-        zp = r[self.n0 :] / jnp.where(d < 1e-300, 1.0, d)
+        zp = r[self.n0 :] / jnp.where(d < 1e-30, 1.0, d)
         return jnp.concatenate([zu, zp])
 
 
@@ -278,3 +303,17 @@ def build_hierarchy(build_fn, n0: int, levels: int):
     """
     ns = [n0 * 2**k for k in range(levels - 1, -1, -1)]
     return [build_fn(n) for n in ns]
+
+
+def build_hp_hierarchy(build_fn, n0: int, levels: int, order: int):
+    """hp-hierarchy: order-p space on the finest mesh, its Q1 subspace on
+    the same mesh, then geometric Q1 coarsening down to ``n0`` cells.
+
+    ``build_fn(n, order) -> form``.  Returns the fine-to-coarse form list
+    for ``GMG`` (factors [p, 2, 2, ...]; for order 1 the duplicate fine
+    level is skipped).
+    """
+    ns = [n0 * 2**k for k in range(levels - 1, -1, -1)]
+    forms = [build_fn(ns[0], order)] if order > 1 else []
+    forms += [build_fn(n, 1) for n in ns]
+    return forms

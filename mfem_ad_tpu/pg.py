@@ -238,7 +238,7 @@ def pg_block_preconditioner(form, state):
     entropy-weighted mass block — realized here as absolute-value Jacobi,
     the AMG-free TPU substitute."""
     d = form.grad_diag(state)
-    safe = jnp.where(jnp.abs(d) < 1e-300, 1.0, jnp.abs(d))
+    safe = jnp.where(jnp.abs(d) < 1e-30, 1.0, jnp.abs(d))
     return lambda x: x / safe
 
 

@@ -32,10 +32,49 @@ import jax.numpy as jnp
 
 
 def cg(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000):
-    x, _ = jax.scipy.sparse.linalg.cg(
-        matvec, b, x0=x0, M=M, tol=tol, atol=atol, maxiter=maxiter
-    )
-    return x
+    """Preconditioned CG with division guards and a normalized RHS.
+
+    Not jax.scipy's: TPU-emulated f64 keeps float32 exponent RANGE, so the
+    squared residual norms of a nearly-converged solve flush to zero and
+    jax.scipy's unguarded gamma/denom becomes 0/0 = NaN.  Here every
+    division is guarded (a zero denominator terminates progress instead of
+    poisoning the iterate) and the system is solved for b/||b|| so the
+    monitored quantities stay O(1).
+    """
+    norm_b = jnp.linalg.norm(b)
+    bsafe = jnp.where(norm_b == 0, 1.0, norm_b)
+    bn = b / bsafe
+    if M is None:
+        M = lambda v: v  # noqa: E731
+    x0n = jnp.zeros_like(b) if x0 is None else x0 / bsafe
+
+    r0 = bn - matvec(x0n)
+    z0 = M(r0)
+    gamma0 = jnp.vdot(r0, z0)
+    target2 = jnp.maximum(tol, atol / bsafe) ** 2  # vs ||r||/||b||
+
+    def body(carry):
+        x, r, p, gamma, k = carry
+        Ap = matvec(p)
+        denom = jnp.vdot(p, Ap)
+        alpha = jnp.where(denom != 0, gamma / jnp.where(denom == 0, 1.0, denom), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        gamma_new = jnp.vdot(r, z)
+        beta = jnp.where(gamma != 0, gamma_new / jnp.where(gamma == 0, 1.0, gamma), 0.0)
+        p = z + beta * p
+        return x, r, p, gamma_new, k + 1
+
+    def cond(carry):
+        _, r, _, gamma, k = carry
+        rs = jnp.vdot(r, r)
+        return jnp.logical_and(
+            jnp.logical_and(k < maxiter, rs > target2), gamma != 0
+        )
+
+    out = jax.lax.while_loop(cond, body, (x0n, r0, z0, gamma0, 0))
+    return out[0] * bsafe
 
 
 def gmres(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000,
@@ -90,7 +129,7 @@ def minres(matvec, b, x0=None, M=None, tol=1e-10, maxiter=1000):
         epsln_n = sn * beta_n
         dbar_n = -cs * beta_n
         gamma = jnp.sqrt(gbar**2 + beta_n**2)
-        gamma = jnp.where(gamma == 0, 1e-300, gamma)
+        gamma = jnp.where(gamma == 0, 1e-30, gamma)  # 1e-300 is 0 in TPU-emulated f64 (f32 range)
         cs_n = gbar / gamma
         sn_n = beta_n / gamma
         phi = cs_n * phibar
@@ -106,7 +145,7 @@ def minres(matvec, b, x0=None, M=None, tol=1e-10, maxiter=1000):
     def cond(carry):
         phibar, it = carry[8], carry[13]
         return jnp.logical_and(
-            it < maxiter, phibar > tol * jnp.maximum(norm_b, 1e-300)
+            it < maxiter, phibar > tol * jnp.maximum(norm_b, 1e-30)
         )
 
     carry = (
@@ -147,7 +186,7 @@ def _batched_inv_small(A):
 
 def _schur_solve_traced(form, tables, ess, state, r, tol: float,
                         maxiter: int, reg: float = 1e-10,
-                        jacobi: bool = True):
+                        jacobi: bool = True, refine: int = 0):
     """Traced (jit-safe) Schur reduction of the 2-block LVPP saddle Jacobian
     [[A, C], [C^T, -D]] with an element-block-diagonal latent block D
     (L2 latent: dofs never couple across elements).  Eliminates the latent
@@ -156,6 +195,11 @@ def _schur_solve_traced(form, tables, ess, state, r, tol: float,
     traced arguments so solvers can fuse it into a single jitted Newton
     step (eager per-matvec dispatch costs ~15-60 ms/call through the
     tunneled TPU).
+
+    The latent block is regularized (D + reg*M, see below) so the solve is
+    range-safe where the mirror map saturates; ``refine`` steps of
+    iterative refinement against the TRUE Jacobian remove the O(reg)
+    direction error so Newton keeps its exactness at large alpha.
     """
     intg = form.integrators[0]
     off = form.offsets
@@ -167,11 +211,18 @@ def _schur_solve_traced(form, tables, ess, state, r, tol: float,
 
     De = -intg.element_matrices(Hq, lb, lb, tables=t)  # [ne, ndl, ndl] SPD
     ne, ndl, _ = De.shape
-    # E*'' underflows where the mirror map saturates (active set); a tiny
-    # relative shift keeps the condensed system solvable.
+    # E*'' underflows where the mirror map saturates (the active set),
+    # making D_e numerically singular; a tiny relative shift keeps the
+    # condensed system solvable — the perturbed direction differs only
+    # where the latent is already converged.  The additional absolute
+    # mass-scaled floor guards the fully-flushed case: TPU-emulated f64
+    # keeps float32 exponent RANGE (~1e+-38), so entire blocks can flush
+    # to exactly zero there and dmax alone would be 0.
     dmax = jnp.max(jnp.abs(De))
     eye = jnp.eye(ndl, dtype=De.dtype)
-    De_inv = _batched_inv_small(De + (reg * dmax) * eye)
+    Bl = t["B"][lb][..., 0]  # [1|ne, nq, ndl] latent VALUE shapes
+    Me = jnp.einsum("eqd,eqk,eq->edk", Bl, Bl, t["w"])  # [1|ne, ndl, ndl]
+    De_inv = _batched_inv_small(De + (reg * dmax) * eye + 1e-20 * Me)
 
     def Dinv(w):  # L2 dofs are element-contiguous: pure reshape
         we = w.reshape(ne, ndl)
@@ -204,15 +255,21 @@ def _schur_solve_traced(form, tables, ess, state, r, tol: float,
         # byNODES flat rows (v, d) = v*nd + d -> [ne, nd, vdim] for scatter
         dS3 = dS.reshape(ne, sp_u.vdim, sp_u.nd).transpose(0, 2, 1)
         d = d + intg.scatter(ub, dS3, t)
-        safe = jnp.where(d < 1e-300, 1.0, d)
+        safe = jnp.where(d < 1e-30, 1.0, d)
         M = lambda v: v / safe  # noqa: E731
 
-    r_u, r_p = r[:n0], r[n0:]
-    rhs = r_u + mv(pad_p(Dinv(r_p)))[:n0]
-    du = cg(S, rhs, M=M, tol=tol, maxiter=maxiter)
-    Ct_du = mv(pad_u(du))[n0:]
-    dp = Dinv(Ct_du - r_p)
-    return jnp.concatenate([du, dp])
+    def solve_reg(rr):
+        r_u, r_p = rr[:n0], rr[n0:]
+        rhs = r_u + mv(pad_p(Dinv(r_p)))[:n0]
+        du = cg(S, rhs, M=M, tol=tol, maxiter=maxiter)
+        Ct_du = mv(pad_u(du))[n0:]
+        dp = Dinv(Ct_du - r_p)
+        return jnp.concatenate([du, dp])
+
+    dx = solve_reg(r)
+    for _ in range(refine):
+        dx = dx + solve_reg(r - mv(dx))
+    return dx
 
 
 def make_pg_schur_solver(latent_block: int = 1, tol: float = 1e-12,
@@ -295,7 +352,7 @@ def _make_precond(form, state, spec):
         # |diag| keeps the preconditioner SPD on indefinite (saddle)
         # systems so it is valid for MINRES as well as CG
         d = jnp.abs(form.grad_diag(state))
-        safe = jnp.where(d < 1e-300, 1.0, d)
+        safe = jnp.where(d < 1e-30, 1.0, d)
         return lambda x: x / safe
     if callable(spec):
         return spec(form, state)
@@ -333,7 +390,7 @@ def _fused_newton_step(form, opts: "NewtonOptions"):
             M = lambda v: fp.fused_apply(pdata, state, d0, v)  # noqa: E731
         elif opts.preconditioner == "jacobi":
             d = jnp.abs(form.grad_diag_raw(tables, ess, state))
-            safe = jnp.where(d < 1e-300, 1.0, d)
+            safe = jnp.where(d < 1e-30, 1.0, d)
             M = lambda v: v / safe  # noqa: E731
         c = _KRYLOV[opts.lin_solver](
             mv, r, M=M, tol=opts.lin_tol, maxiter=opts.lin_maxiter
