@@ -29,8 +29,11 @@ def main():
     ap.add_argument("-a0", "--alpha0", type=float, default=1.0)
     ap.add_argument("-ar", "--alpha-ratio", type=float, default=1.0)
     ap.add_argument("-ar2", "--alpha-ratio2", type=float, default=1.0)
-    ap.add_argument("--solver", default="dense",
-                    choices=["dense", "minres", "gmres"])
+    ap.add_argument("--solver", default="schur",
+                    choices=["schur", "dense", "minres", "gmres"],
+                    help="schur = lumped-latent block preconditioner + "
+                         "MINRES on the saddle system (scalable TPU "
+                         "default for the H1^dim latent)")
     ap.add_argument("-pv", "--paraview", action="store_true")
     args = ap.parse_args()
 

@@ -89,7 +89,7 @@ def solve(
     max_alpha: float = 1e6,
     ratio: float = 1.0,
     ratio2: float = 1.0,
-    lin_solver: str = "dense",
+    lin_solver: str = "schur",
     max_pg_iter: int = 100,
     tol: float = 1e-8,
     verbose: bool = False,
@@ -100,7 +100,7 @@ def solve(
     nopts = NewtonOptions(
         abs_tol=1e-9, rel_tol=0.0, max_iter=20, lin_solver=lin_solver,
         lin_tol=1e-13, lin_maxiter=20000,
-        preconditioner=None if lin_solver == "dense" else "jacobi",
+        preconditioner=None if lin_solver in ("dense", "schur") else "jacobi",
     )
     solver = PGSolver(
         pb.form, rule, latent_block=1, latent_space=pb.latent_space,

@@ -317,3 +317,41 @@ def build_hp_hierarchy(build_fn, n0: int, levels: int, order: int):
     forms = [build_fn(ns[0], order)] if order > 1 else []
     forms += [build_fn(n, 1) for n in ns]
     return forms
+
+
+class PGSchurGMG:
+    """Preconditioner for the CONDENSED LVPP primal system
+    S = A + C D^{-1} C^T inside the fused Schur Newton step
+    (solvers._schur_solve_traced): the GMG V-cycle on the primal objective
+    block A is combined ADDITIVELY with the exact reaction diagonal
+    diag(C D^{-1} C^T) that the Schur solve computes per step — V-cycle
+    handles the diffusion-dominated dofs, the diagonal handles the
+    alpha-amplified active-set reaction.  Both terms are SPD, so the sum
+    is a valid CG preconditioner.
+
+    Build the GMG on primal-space forms discretizing the objective energy
+    (``build_hp_hierarchy`` for order > 1) and pass
+    ``as_preconditioner()`` to NewtonOptions together with
+    ``lin_solver='schur'``.
+    """
+
+    def __init__(self, gmg: GMG):
+        self.gmg = gmg
+
+    def as_preconditioner(self):
+        def make(form, state):
+            raise ValueError(
+                "PGSchurGMG only participates in the fused Newton step "
+                "(lin_solver='schur'); there is no eager preconditioner"
+            )
+
+        make.fused_precond = self
+        return make
+
+    # -- fused-step protocol -------------------------------------------
+    def fused_pdata(self):
+        return self.gmg.pdata()
+
+    def apply_primal(self, data, v):
+        """V-cycle on the primal block (used additively by the Schur CG)."""
+        return self.gmg.vcycle_pure(data, 0, v)

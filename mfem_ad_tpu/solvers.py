@@ -186,7 +186,8 @@ def _batched_inv_small(A):
 
 def _schur_solve_traced(form, tables, ess, state, r, tol: float,
                         maxiter: int, reg: float = 1e-10,
-                        jacobi: bool = True, refine: int = 0):
+                        jacobi: bool = True, refine: int = 0,
+                        lumped: bool = False, Mextra=None):
     """Traced (jit-safe) Schur reduction of the 2-block LVPP saddle Jacobian
     [[A, C], [C^T, -D]] with an element-block-diagonal latent block D
     (L2 latent: dofs never couple across elements).  Eliminates the latent
@@ -196,10 +197,18 @@ def _schur_solve_traced(form, tables, ess, state, r, tol: float,
     step (eager per-matvec dispatch costs ~15-60 ms/call through the
     tunneled TPU).
 
-    The latent block is regularized (D + reg*M, see below) so the solve is
-    range-safe where the mirror map saturates; ``refine`` steps of
-    iterative refinement against the TRUE Jacobian remove the O(reg)
-    direction error so Newton keeps its exactness at large alpha.
+    The latent block is regularized (see below) so the solve is range-safe
+    where the mirror map saturates; ``refine`` steps of iterative
+    refinement against the TRUE Jacobian remove the O(reg) direction error
+    so Newton keeps its exactness at large alpha.
+
+    ``lumped=True`` handles latent spaces that are NOT element-local (the
+    H1^dim latent of ex5.cpp): D is replaced by its diagonal ("lumped
+    mass"), the lumped Schur complement S~ = A + C D~^-1 C^T and D~ form
+    the classical SPD block-diagonal saddle preconditioner
+    blockdiag(S~^-1, D~^-1), and guarded MINRES runs on the TRUE saddle
+    Jacobian — unconditionally convergent (MINRES minimizes the residual),
+    with iteration counts set by the lumping quality rather than by alpha.
     """
     intg = form.integrators[0]
     off = form.offsets
@@ -208,26 +217,38 @@ def _schur_solve_traced(form, tables, ess, state, r, tol: float,
     n0, n1 = int(off[lb]), int(off[lb + 1] - off[lb])
     Hq = state[0]
     t = tables[0]
+    d_full = jnp.abs(form.grad_diag_raw(tables, ess, state))
 
-    De = -intg.element_matrices(Hq, lb, lb, tables=t)  # [ne, ndl, ndl] SPD
-    ne, ndl, _ = De.shape
-    # E*'' underflows where the mirror map saturates (the active set),
-    # making D_e numerically singular; a tiny relative shift keeps the
-    # condensed system solvable — the perturbed direction differs only
-    # where the latent is already converged.  The additional absolute
-    # mass-scaled floor guards the fully-flushed case: TPU-emulated f64
-    # keeps float32 exponent RANGE (~1e+-38), so entire blocks can flush
-    # to exactly zero there and dmax alone would be 0.
-    dmax = jnp.max(jnp.abs(De))
-    eye = jnp.eye(ndl, dtype=De.dtype)
-    Bl = t["B"][lb][..., 0]  # [1|ne, nq, ndl] latent VALUE shapes
-    Me = jnp.einsum("eqd,eqk,eq->edk", Bl, Bl, t["w"])  # [1|ne, ndl, ndl]
-    De_inv = _batched_inv_small(De + (reg * dmax) * eye + 1e-20 * Me)
+    if lumped:
+        # diagonal (lumped) latent block: valid for any latent space
+        dpsi = d_full[n0:]
+        dmax = jnp.max(dpsi)
+        dpsi = jnp.maximum(dpsi, jnp.maximum(reg * dmax, 1e-30))
+        inv_dpsi = 1.0 / dpsi
 
-    def Dinv(w):  # L2 dofs are element-contiguous: pure reshape
-        we = w.reshape(ne, ndl)
-        ze = jnp.einsum("eij,ej->ei", De_inv, we)
-        return ze.reshape(-1)
+        def Dinv(w):
+            return w * inv_dpsi
+
+    else:
+        De = -intg.element_matrices(Hq, lb, lb, tables=t)  # [ne, ndl, ndl]
+        ne, ndl, _ = De.shape
+        # E*'' underflows where the mirror map saturates (the active set),
+        # making D_e numerically singular; a tiny relative shift keeps the
+        # condensed system solvable — the perturbed direction differs only
+        # where the latent is already converged.  The additional absolute
+        # mass-scaled floor guards the fully-flushed case: TPU-emulated
+        # f64 keeps float32 exponent RANGE (~1e+-38), so entire blocks can
+        # flush to exactly zero there and dmax alone would be 0.
+        dmax = jnp.max(jnp.abs(De))
+        eye = jnp.eye(ndl, dtype=De.dtype)
+        Bl = t["B"][lb][..., 0]  # [1|ne, nq, ndl] latent VALUE shapes
+        Me = jnp.einsum("eqd,eqk,eq->edk", Bl, Bl, t["w"])
+        De_inv = _batched_inv_small(De + (reg * dmax) * eye + 1e-20 * Me)
+
+        def Dinv(w):  # L2 dofs are element-contiguous: pure reshape
+            we = w.reshape(ne, ndl)
+            ze = jnp.einsum("eij,ej->ei", De_inv, we)
+            return ze.reshape(-1)
 
     def pad_u(v):
         return jnp.concatenate([v, jnp.zeros(n1, v.dtype)])
@@ -248,15 +269,38 @@ def _schur_solve_traced(form, tables, ess, state, r, tol: float,
     if jacobi:
         # diag(S) = diag(A) + diag(C D^{-1} C^T); the second term dominates
         # as alpha grows (D ~ E*''/alpha -> 0 on the active set).
-        d = jnp.abs(form.grad_diag_raw(tables, ess, state)[:n0])
+        d = d_full[:n0]
         Ce = intg.element_matrices(Hq, ub, lb, tables=t)  # [ne, nde_u, ndl]
-        dS = jnp.einsum("eij,ejk,eik->ei", Ce, De_inv, Ce)
-        sp_u = form.spaces[ub]
+        ne_c = Ce.shape[0]
+        sp_u, sp_l = form.spaces[ub], form.spaces[lb]
+        if lumped:
+            ge = intg.gather(lb, inv_dpsi, t)  # [ne, ndl, vdim]
+            ge2 = ge.transpose(0, 2, 1).reshape(ne_c, -1)  # byNODES flat
+            dS = jnp.einsum("eij,ej->ei", Ce * Ce, ge2)
+        else:
+            dS = jnp.einsum("eij,ejk,eik->ei", Ce, De_inv, Ce)
         # byNODES flat rows (v, d) = v*nd + d -> [ne, nd, vdim] for scatter
-        dS3 = dS.reshape(ne, sp_u.vdim, sp_u.nd).transpose(0, 2, 1)
+        dS3 = dS.reshape(ne_c, sp_u.vdim, sp_u.nd).transpose(0, 2, 1)
         d = d + intg.scatter(ub, dS3, t)
         safe = jnp.where(d < 1e-30, 1.0, d)
-        M = lambda v: v / safe  # noqa: E731
+        if Mextra is None:
+            M = lambda v: v / safe  # noqa: E731
+        else:
+            # additive SPD combination: V-cycle (diffusion-dominated dofs)
+            # + reaction diagonal (alpha-amplified active set)
+            M = lambda v: v / safe + Mextra(v)  # noqa: E731
+
+    if lumped:
+        # SPD block-diagonal preconditioner (lumped Schur + lumped D) for
+        # MINRES on the true saddle Jacobian.  The inner S~-solve is a
+        # bounded CG: the preconditioner only needs a spectrally-faithful
+        # approximation, and an (effectively) fixed inner budget keeps it
+        # close enough to linear for MINRES.
+        def Mblock(rr):
+            zu = cg(S, rr[:n0], M=M, tol=1e-8, maxiter=200)
+            return jnp.concatenate([zu, Dinv(rr[n0:])])
+
+        return minres(mv, r, M=Mblock, tol=tol, maxiter=200)
 
     def solve_reg(rr):
         r_u, r_p = rr[:n0], rr[n0:]
@@ -379,8 +423,15 @@ def _fused_newton_step(form, opts: "NewtonOptions"):
         r = jnp.where(ess, 0.0, r)
         state = form.grad_state_raw(tables, x, fields)
         if opts.lin_solver == "schur":
+            # element-exact elimination for L2 latents; diagonal-lumped
+            # block preconditioner + MINRES for H1 latents (ex5)
+            lumped = form.spaces[-1].fe_type != "L2"
+            Mx = None
+            if fp is not None and hasattr(fp, "apply_primal"):
+                Mx = lambda v: fp.apply_primal(pdata, v)  # noqa: E731
             c = _schur_solve_traced(
-                form, tables, ess, state, r, opts.lin_tol, opts.lin_maxiter
+                form, tables, ess, state, r, opts.lin_tol,
+                opts.lin_maxiter, lumped=lumped, Mextra=Mx,
             )
             return x - opts.damping * c
         mv = lambda v: form.grad_mult_raw(tables, ess, state, v)  # noqa: E731
