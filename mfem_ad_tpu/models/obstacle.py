@@ -79,6 +79,26 @@ def build(order: int = 2, ref_levels: int = 3, n0: int = 10,
     )
 
 
+def _primal_gmg(order: int, ref_levels: int, n0: int):
+    """hp-GMG on the primal diffusion block (H1(order+1)): order-p fine
+    level p-coarsens to Q1, then geometric coarsening to the n0 mesh.
+    Used additively inside the condensed Schur solve (PGSchurGMG)."""
+    from ..multigrid import GMG, PGSchurGMG, build_hp_hierarchy
+    from ..forms import NonlinearForm
+    from ..ad import DiffusionEnergy
+
+    def build_fn(n, p):
+        m = M.make_cartesian_2d(n, n)
+        fes = FESpace(m, p)
+        f = NonlinearForm(fes)
+        f.add_ad_integrator(DiffusionEnergy(m.dim), ADEval.GRAD)
+        f.set_essential_bc([np.ones(m.max_bdr_attribute())])
+        return f
+
+    forms = build_hp_hierarchy(build_fn, n0, ref_levels + 1, order + 1)
+    return PGSchurGMG(GMG(forms))
+
+
 def solve(
     order: int = 2,
     ref_levels: int = 3,
@@ -92,13 +112,19 @@ def solve(
     tol: float = 1e-10,
     verbose: bool = False,
     n0: int = 10,
+    gmg: bool = True,
 ):
     pb = build(order, ref_levels, n0=n0)
     rule = PGStepSizeRule(rule_type, alpha0, max_alpha, ratio, ratio2)
+    precond = None
+    if lin_solver == "schur" and gmg:
+        precond = _primal_gmg(order, ref_levels, n0).as_preconditioner()
+    elif lin_solver not in ("dense", "schur"):
+        precond = "jacobi"
     nopts = NewtonOptions(
         abs_tol=1e-9, rel_tol=0.0, max_iter=20, lin_solver=lin_solver,
         lin_tol=1e-13, lin_maxiter=20000,
-        preconditioner=None if lin_solver in ("dense", "schur") else "jacobi",
+        preconditioner=precond,
     )
     solver = PGSolver(
         pb.form, rule, latent_block=1, latent_space=pb.latent_space,
