@@ -97,13 +97,26 @@ class ShardedForm:
             for intg in form.integrators
         ]
         self._jit_cache: dict[str, object] = {}
+        self._ess = None
 
     def _place(self, t, sp):
         if isinstance(sp, P):
+            if jax.process_count() > 1:
+                # multi-process (multi-controller SPMD): device_put from
+                # identical host arrays on every process — the supported
+                # path for building process-spanning global arrays
+                t = np.asarray(t)
             return jax.device_put(t, NamedSharding(self.mesh, sp))
         if isinstance(t, dict):
             return {k: self._place(t[k], sp[k]) for k in t}
         return tuple(self._place(a, b) for a, b in zip(t, sp))
+
+    def replicate(self, x):
+        """Place a (host or single-device) array replicated on the mesh —
+        required for jit inputs when the mesh spans processes."""
+        if jax.process_count() > 1:
+            x = np.asarray(x)
+        return jax.device_put(x, NamedSharding(self.mesh, P()))
 
     # -- mirror the BlockNonlinearForm interface -------------------------
     @property
@@ -120,7 +133,9 @@ class ShardedForm:
 
     @property
     def ess_mask(self):
-        return self.form.ess_mask
+        if self._ess is None:
+            self._ess = self.replicate(self.form.ess_mask)
+        return self._ess
 
     def split(self, u):
         return self.form.split(u)
