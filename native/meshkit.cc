@@ -80,7 +80,7 @@ int64_t unique_rows_k4(const int64_t* rows, int64_t n,
       uniq[4 * nu + 3] = static_cast<int64_t>(keys[i].k1 & 0xffffffffu);
       ++nu;
     }
-    inverse[keys[i].second] = nu - 1;
+    inverse[keys[i].idx] = nu - 1;
   }
   return nu;
 }

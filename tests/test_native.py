@@ -1,8 +1,24 @@
 """Native meshkit (C++/ctypes) vs numpy fallback equivalence."""
 
+import shutil
+
 import numpy as np
+import pytest
 
 from mfem_ad_tpu import native
+
+
+def test_native_builds_when_toolchain_present():
+    """The equivalence tests below silently degrade to numpy-vs-numpy when
+    the .so is missing, so a broken C++ build must fail HERE, loudly.
+    (Round-1 regression: a committed stale binary masked a compile error
+    in unique_rows_k4 for months of build time.)"""
+    if shutil.which("g++") is None and shutil.which("c++") is None:
+        pytest.skip("no C++ toolchain")
+    assert native.available(), (
+        "C++ toolchain present but native meshkit failed to build/load; "
+        "run `make -C native` to see the compiler error"
+    )
 
 
 def test_unique_rows_matches_numpy():
