@@ -451,10 +451,29 @@ class FESpace:
         """Overwrite boundary nodal values with fn — ProjectBdrCoefficient."""
         u = np.array(u)
         ids = self.boundary_dofs(attr_mask)
+        if len(ids) == 0:
+            return u
+        xs = self.node_coords[ids]  # [nb, sdim]
+        vals = None
+        try:  # vectorized evaluation (same contract as project())
+            v = np.asarray(fn(xs), dtype=np.float64)
+            if self.vdim == 1 and v.shape == (len(ids),):
+                vals = v[None, :]
+            elif v.shape == (self.vdim, len(ids)):
+                vals = v
+            elif v.shape == (len(ids), self.vdim):
+                vals = v.T
+            if vals is not None:
+                v0 = np.atleast_1d(np.asarray(fn(xs[0]), dtype=np.float64))
+                if not np.allclose(vals[:, 0], v0, rtol=1e-12, atol=1e-12):
+                    vals = None  # fn vectorized over components, not points
+        except Exception:
+            vals = None
+        if vals is None:  # per-point fallback
+            vs = [np.atleast_1d(fn(x)) for x in xs]
+            vals = np.asarray(vs, dtype=np.float64).T  # [vdim, nb]
         for c in range(self.vdim):
-            for i in ids:
-                v = fn(self.node_coords[i])
-                u[i + c * self.ndof_scalar] = v if self.vdim == 1 else v[c]
+            u[ids + c * self.ndof_scalar] = vals[c]
         return u
 
 

@@ -236,6 +236,8 @@ class LinearForm:
         idx = np.asarray(sp.edof, dtype=np.int64)[:, :, None] + np.arange(
             sp.vdim
         ) * sp.ndof_scalar
-        b = np.zeros(sp.ndof)
-        np.add.at(b, idx, be)
-        return b
+        # bincount is the buffered scatter-add; np.add.at is an unbuffered
+        # ufunc ~30x slower at 1M+ elements (host-setup scaling, VERDICT r1)
+        return np.bincount(
+            idx.ravel(), weights=be.ravel(), minlength=sp.ndof
+        )

@@ -89,3 +89,35 @@ def test_checkpoint_corrupt_sidecar(tmp_path):
     arrays, meta = load_checkpoint(path)
     assert np.allclose(arrays["x"], np.arange(4.0))
     assert meta is None
+
+
+def test_project_bdr_vectorized_matches_pointwise():
+    """Vectorized boundary projection must equal the per-point fallback for
+    scalar and vector spaces (host-setup scaling path, VERDICT r1 weak #8)."""
+    import numpy as np
+
+    from mfem_ad_tpu import mesh as M
+    from mfem_ad_tpu.fespace import FESpace
+
+    m = M.make_cartesian_2d(4, 3)
+
+    # scalar space: a vectorized fn (operates on [n, 2] stacked coords)
+    sp = FESpace(m, 2)
+    u0 = np.zeros(sp.ndof)
+    vec = sp.project_bdr(u0, lambda x: np.sin(x[..., 0]) + x[..., 1] ** 2)
+    ref = np.array(u0)
+    for i in sp.boundary_dofs():
+        ref[i] = np.sin(sp.node_coords[i][0]) + sp.node_coords[i][1] ** 2
+    np.testing.assert_allclose(vec, ref, atol=1e-14)
+
+    # vector space: per-point fn (not vectorizable -> fallback path)
+    spv = FESpace(m, 1, vdim=2)
+    u0 = np.zeros(spv.ndof)
+    fn = lambda x: np.array([float(x[0]), float(x[0] * x[1])])  # noqa: E731
+    got = spv.project_bdr(u0, fn)
+    ref = np.array(u0)
+    for i in spv.boundary_dofs():
+        v = fn(spv.node_coords[i])
+        ref[i] = v[0]
+        ref[i + spv.ndof_scalar] = v[1]
+    np.testing.assert_allclose(got, ref, atol=1e-14)
