@@ -4,7 +4,7 @@ Measures the reference's hot path (AssembleElementGrad,
 /root/reference/src/ad_intg.hpp:260-334) end-to-end on one chip: per-qp
 input gather x = B^T u, per-qp energy Hessian via forward-over-reverse AD,
 and the fused B H B^T w contraction into dense element Jacobian blocks —
-for the ex3 2D linear-elasticity energy (GRAD|VECTOR, Q1, 2p+2 quadrature),
+for the neo-Hookean hyperelastic energy (GRAD|VECTOR, 2p+2 quadrature),
 in float32 (the TPU-native precision for the perf path).
 
 Methodology notes:
@@ -13,7 +13,9 @@ Methodology notes:
   ~200x on a tunneled TPU;
 - the accumulator folds in sum(A) so XLA cannot dead-code any element;
 - reps run inside one jitted fori_loop and the rate comes from differencing
-  two loop lengths (cancels launch overhead + tunnel latency).
+  two loop lengths (cancels launch overhead + tunnel latency);
+- the energy is neo-Hookean (state-dependent Hessian), so XLA cannot hoist
+  the per-qp AD out of the loop the way it could for a quadratic energy.
 
 Baseline normalization: the reference publishes no numbers
 (BASELINE.json "published": {}).  The north-star target is >= 10x an MFEM
@@ -23,10 +25,18 @@ Jacobians/sec for that machine (measured MFEM-class CPU codes assemble
 vs_baseline = value / 1.0e7, and the >=10x target means vs_baseline >= 10.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Sweep mode (manual, not the driver's): ``BENCH_SWEEP=1 python bench.py``
+runs orders 1-3 x {2D, 3D} x {residual, jacobian} and prints a markdown
+table (stderr) before the headline JSON line (stdout, headline config).
+Knobs: BENCH_N, BENCH_ORDER, BENCH_DIM, BENCH_REPS0/1, BENCH_FUSED=1
+(route the Jacobian through the fused Pallas kernel),
+BENCH_PEAK_FLOPS (chip f32 peak for the MFU estimate; default v5e 4.92e13).
 """
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("MFEM_AD_TPU_NO_X64", "1")  # bench in f32
@@ -37,53 +47,75 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 MFEM_64CORE_BASELINE = 1.0e7  # element Jacobians / sec (estimate, see above)
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", "4.92e13"))  # v5e f32
 
 
-def main():
+def _build(order: int, dim: int, n: int):
     from mfem_ad_tpu import mesh as M
     from mfem_ad_tpu.ad import NeoHookeanEnergy
     from mfem_ad_tpu.adeval import ADEval
     from mfem_ad_tpu.fespace import FESpace
     from mfem_ad_tpu.integrator import ADBlockIntegrator
 
-    n = int(os.environ.get("BENCH_N", "512"))
-    order = int(os.environ.get("BENCH_ORDER", "1"))
-    m = M.make_cartesian_2d(n, n)
-    dim = 2
+    m = M.make_cartesian_2d(n, n) if dim == 2 else M.make_cartesian_3d(
+        n, n, n
+    )
     fes = FESpace(m, order, vdim=dim)
-    # neo-Hookean: state-dependent Hessian, so XLA cannot hoist the per-qp
-    # AD out of the timing loop (a quadratic energy has a constant Jacobian
-    # and benches as fast as XLA can prove it constant)
     intg = ADBlockIntegrator(
         NeoHookeanEnergy(dim, 1.0, 1.0),
         [fes],
         [ADEval.GRAD | ADEval.VECTOR],
         dtype=jnp.float32,
     )
-    ne = m.num_elements
-
-    def make_loop(reps: int):
-        @jax.jit
-        def run(tables, u):
-            def body(acc, c):
-                # a distinct input scaling per iteration prevents both
-                # loop-invariant hoisting and DCE of any element
-                Hq = intg.hess_state([u * c], tables=tables)
-                A = intg.element_matrices(Hq, 0, 0, tables=tables)
-                return acc + jnp.sum(A), None
-
-            cs = 1.0 + jnp.arange(reps, dtype=jnp.float32) * 1e-6
-            acc, _ = jax.lax.scan(body, jnp.float32(0.0), cs)
-            return acc
-
-        return run
-
     rng = np.random.default_rng(0)
     # small displacements keep det(F) > 0 (valid neo-Hookean state)
     u = jnp.asarray(0.02 * rng.standard_normal(fes.ndof), dtype=jnp.float32)
+    return m, fes, intg, u
 
-    r0 = int(os.environ.get("BENCH_REPS0", "20"))
-    r1 = int(os.environ.get("BENCH_REPS1", "220"))
+
+def _loop_jacobian(intg, reps: int, fused):
+    """fused: None = auto-route (element_jacobians), False = force the
+    XLA path, True = force the Pallas kernel."""
+    if fused:
+        from mfem_ad_tpu.ops.fused_jacobian import element_jacobian_via_pallas
+
+    @jax.jit
+    def run(tables, u):
+        def body(acc, c):
+            # a distinct input scaling per iteration prevents both
+            # loop-invariant hoisting and DCE of any element
+            if fused:
+                A = element_jacobian_via_pallas(intg, [u * c], tables=tables)
+            elif fused is None:
+                A = intg.element_jacobians([u * c], tables=tables)
+            else:
+                Hq = intg.hess_state([u * c], tables=tables)
+                A = intg.element_matrices(Hq, 0, 0, tables=tables)
+            return acc + jnp.sum(A), None
+
+        cs = 1.0 + jnp.arange(reps, dtype=jnp.float32) * 1e-6
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), cs)
+        return acc
+
+    return run
+
+
+def _loop_residual(intg, reps: int):
+    @jax.jit
+    def run(tables, u):
+        def body(acc, c):
+            (r,) = intg.residual([u * c], tables=tables)
+            return acc + jnp.sum(r), None
+
+        cs = 1.0 + jnp.arange(reps, dtype=jnp.float32) * 1e-6
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), cs)
+        return acc
+
+    return run
+
+
+def _rate(make_loop, intg, u, r0: int, r1: int):
+    """Differenced-loop element rate (elements/sec)."""
     run0, run1 = make_loop(r0), make_loop(r1)
     float(run0(intg.tables, u))  # compile + device sync (fetch the scalar:
     float(run1(intg.tables, u))  # block_until_ready is unreliable on axon)
@@ -98,8 +130,28 @@ def main():
 
     t0, t1 = timed(run0), timed(run1)
     per_rep = max((t1 - t0) / (r1 - r0), 1e-12)
-    rate = ne / per_rep
+    ne = intg.tables["edof"][0].shape[0]
+    return ne / per_rep
 
+
+def _gemm_flops_per_element(intg):
+    """FLOPs/element of the two assembly GEMMs (x = ueR^T, A = H W) —
+    a *lower bound* on real work (excludes the per-qp AD Hessian)."""
+    nq, w = intg.nq, intg.widths[0]
+    nde = intg.vdim[0] * intg.nd[0]
+    return 2 * nde * nq * w + 2 * (nq * w * w) * (nde * nde)
+
+
+def headline(fused: bool):
+    n = int(os.environ.get("BENCH_N", "512"))
+    order = int(os.environ.get("BENCH_ORDER", "1"))
+    dim = int(os.environ.get("BENCH_DIM", "2"))
+    r0 = int(os.environ.get("BENCH_REPS0", "20"))
+    r1 = int(os.environ.get("BENCH_REPS1", "220"))
+    m, fes, intg, u = _build(order, dim, n)
+    rate = _rate(
+        lambda reps: _loop_jacobian(intg, reps, fused), intg, u, r0, r1
+    )
     print(
         json.dumps(
             {
@@ -110,6 +162,48 @@ def main():
             }
         )
     )
+
+
+def sweep():
+    rows = []
+    for dim, n in ((2, 512), (3, 48)):
+        for order in (1, 2, 3):
+            if dim == 3 and order == 3:
+                n = 32  # keep the p3 3D dof tensor within HBM
+            m, fes, intg, u = _build(order, dim, n)
+            ne = m.num_elements
+            r1 = max(20, min(220, int(2e8 / (ne * intg.nq))))
+            r0 = max(2, r1 // 10)
+            jac = _rate(
+                lambda reps: _loop_jacobian(intg, reps, None),
+                intg, u, r0, r1,
+            )
+            res = _rate(
+                lambda reps: _loop_residual(intg, reps), intg, u, r0, r1
+            )
+            mfu = jac * _gemm_flops_per_element(intg) / PEAK_FLOPS
+            rows.append((order, dim, ne, res, jac, mfu))
+            print(
+                f"| p={order} | {dim}D | {ne:>7} | {res:.3e} | {jac:.3e} "
+                f"| {100 * mfu:.1f}% |",
+                file=sys.stderr,
+                flush=True,
+            )
+    print(
+        "| order | dim | elems | residual elem/s | jacobian elem/s "
+        "| MFU(GEMM lower bound) |",
+        file=sys.stderr,
+    )
+    return rows
+
+
+def main():
+    # BENCH_FUSED: unset = auto-route (fused on TPU when eligible),
+    # "1" = force Pallas, "0" = force the XLA path.
+    fused = {"1": True, "0": False}.get(os.environ.get("BENCH_FUSED", ""))
+    if os.environ.get("BENCH_SWEEP", "") == "1":
+        sweep()
+    headline(fused)
 
 
 if __name__ == "__main__":

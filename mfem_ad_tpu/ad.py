@@ -30,6 +30,9 @@ __all__ = [
     "ADVectorFunction",
     "admax",
     "admin",
+    "logdet",
+    "logdet_flat",
+    "inv_t",
     "MassEnergy",
     "DiffusionEnergy",
     "DiffEnergy",
@@ -51,6 +54,137 @@ def admax(a, b):
 def admin(a, b):
     """min with subgradient tie-averaging (ad_native.hpp:723-749)."""
     return jnp.where(a < b, a, jnp.where(a > b, b, 0.5 * (a + b)))
+
+
+# ---------------------------------------------------------------------------
+# Mosaic-safe log-determinant.
+#
+# The derivative core works on the d*d SCALAR COMPONENTS of F, not on a
+# matrix: inside the fused Pallas element-Jacobian kernel the point energy
+# is vmapped over an element-lane axis, and Mosaic cannot lower the minor-
+# dim reshape ([lanes, d*d] -> [lanes, d, d]) or batched tiny dot_generals
+# that a matrix formulation drags into the nested-jvp graph — and its
+# lowering of the raw nested-jvp division chains of log(det F) itself is
+# miscompiled outright.  Component-level custom_jvp rules keep the whole
+# differentiated region pure elementwise arithmetic: the JVP of logdet is
+# an inner product with F^{-T}'s components, and the JVP of F^{-T} is the
+# product form -F^{-T} dF^T F^{-T}, unrolled over indices at trace time.
+# Division appears only in primal evaluations, which lower correctly.
+# ---------------------------------------------------------------------------
+
+
+def _cofactor_exprs(f, d: int):
+    """Cofactor components C[i][j] ((-1)^{i+j} minors) of flat scalars f."""
+    ix = lambda i, j: i * d + j  # noqa: E731
+    if d == 1:
+        one = f[0] / f[0]  # traced 1 of the right dtype/shape
+        return [one]
+    if d == 2:
+        return [f[ix(1, 1)], -f[ix(1, 0)], -f[ix(0, 1)], f[ix(0, 0)]]
+    if d == 3:
+        out = []
+        for i in range(3):
+            i1, i2 = (i + 1) % 3, (i + 2) % 3
+            for j in range(3):
+                j1, j2 = (j + 1) % 3, (j + 2) % 3
+                out.append(
+                    f[ix(i1, j1)] * f[ix(i2, j2)]
+                    - f[ix(i1, j2)] * f[ix(i2, j1)]
+                )
+        return out
+    raise NotImplementedError(d)
+
+
+def _det_expr(f, d: int):
+    if d == 1:
+        return f[0]
+    if d == 2:
+        return f[0] * f[3] - f[1] * f[2]
+    cof = _cofactor_exprs(f, 3)
+    return f[0] * cof[0] + f[1] * cof[1] + f[2] * cof[2]
+
+
+def _make_component_core(d: int):
+    ix = lambda i, j: i * d + j  # noqa: E731
+
+    @jax.custom_jvp
+    def invt_c(*f):
+        """Components of F^{-T} = cofactor(F)/det(F)."""
+        det = _det_expr(f, d)
+        r = 1.0 / det
+        return tuple(c * r for c in _cofactor_exprs(f, d))
+
+    @invt_c.defjvp
+    def _invt_c_jvp(primals, tangents):
+        i = invt_c(*primals)  # F^{-T} components
+        t = tangents  # dF components
+        # d(F^{-T}) = -F^{-T} dF^T F^{-T}, unrolled: I[a,k] T[k,b] I[k',b]
+        # where I[a,b] = i[ix(a,b)] and dF^T[k,b] = t[ix(b,k)].
+        m = [
+            [
+                sum(i[ix(a, k)] * t[ix(b, k)] for k in range(d))
+                for b in range(d)
+            ]
+            for a in range(d)
+        ]
+        out = tuple(
+            -sum(m[a][k] * i[ix(k, b)] for k in range(d))
+            for a in range(d)
+            for b in range(d)
+        )
+        return i, out
+
+    @jax.custom_jvp
+    def logdet_c(*f):
+        return jnp.log(_det_expr(f, d))
+
+    @logdet_c.defjvp
+    def _logdet_c_jvp(primals, tangents):
+        i = invt_c(*primals)
+        return (
+            logdet_c(*primals),
+            sum(ic * tc for ic, tc in zip(i, tangents)),
+        )
+
+    return logdet_c, invt_c
+
+
+_CORES = {d: _make_component_core(d) for d in (1, 2, 3)}
+
+
+def logdet_flat(v, d: int):
+    """log(det F) from the flat row-major [d*d] vector of F's entries.
+
+    This is the form hyperelastic energies should use on their GRAD|VECTOR
+    input slice (already flat, ad_intg layout): it avoids the
+    reshape-to-matrix that Mosaic cannot lower inside the fused Pallas
+    kernel's vmapped AD graph.
+    """
+    return _CORES[d][0](*(v[..., k] for k in range(d * d)))
+
+
+def logdet(F):
+    """log(det F) for d<=3 with derivative rules closed under nesting.
+
+    Use this (not ``jnp.log(jnp.linalg.det(F))``) in energies so they are
+    eligible for the fused Pallas assembly kernel on TPU; see
+    :func:`logdet_flat` for the reshape-free variant energies should
+    prefer on their flat input slice.
+    """
+    d = F.shape[-1]
+    return _CORES[d][0](*(F[..., i, j] for i in range(d) for j in range(d)))
+
+
+def inv_t(F):
+    """F^{-T} for d<=3; derivatives are Mosaic-safe product forms."""
+    d = F.shape[-1]
+    comps = _CORES[d][1](
+        *(F[..., i, j] for i in range(d) for j in range(d))
+    )
+    return jnp.stack(
+        [jnp.stack(comps[i * d : (i + 1) * d], axis=-1) for i in range(d)],
+        axis=-2,
+    )
 
 
 class ADFunction:
@@ -133,10 +267,15 @@ class ADVectorFunction:
 
 
 class MassEnergy(ADFunction):
-    """0.5 ||x||^2 (ad_native.hpp:413-420)."""
+    """0.5 ||x||^2 (ad_native.hpp:413-420).
+
+    Scalar-unrolled (no dot_general/reshape): eligible for the fused
+    Pallas kernel, where Mosaic only lowers elementwise per-qp graphs.
+    XLA re-fuses the unrolled form on the batched path at no cost.
+    """
 
     def energy(self, x, p):
-        return 0.5 * jnp.dot(x, x)
+        return 0.5 * sum(x[k] * x[k] for k in range(self.n_input))
 
 
 class DiffusionEnergy(ADFunction):
@@ -157,15 +296,19 @@ class DiffusionEnergy(ADFunction):
                 )
 
     def energy(self, g, p):
+        # scalar-unrolled (fused-Pallas-eligible); see MassEnergy
+        d = self.dim
         K = p.get("K")
+        gg = sum(g[k] * g[k] for k in range(d))
         if K is None:
-            return 0.5 * jnp.dot(g, g)
+            return 0.5 * gg
         if K.shape[-1] == 1:
-            return 0.5 * K[0] * jnp.dot(g, g)
-        if K.shape[-1] == self.dim:
-            return 0.5 * jnp.sum(K * g * g)
-        Km = K.reshape(self.dim, self.dim)
-        return 0.5 * jnp.dot(g, Km @ g)
+            return 0.5 * K[0] * gg
+        if K.shape[-1] == d:
+            return 0.5 * sum(K[k] * g[k] * g[k] for k in range(d))
+        return 0.5 * sum(
+            g[i] * K[i * d + j] * g[j] for i in range(d) for j in range(d)
+        )
 
 
 class DiffEnergy(ADFunction):
@@ -195,11 +338,15 @@ class LinearElasticityEnergy(ADFunction):
         self.add_parameter("mu", mu)
 
     def energy(self, gradu, p):
+        # scalar-unrolled (fused-Pallas-eligible); see MassEnergy
         d = self.dim
-        G = gradu.reshape(d, d)
-        div = jnp.trace(G)
-        sym = 0.5 * (G + G.T)
-        return 0.5 * p["lambda"][0] * div * div + p["mu"][0] * jnp.sum(sym * sym)
+        div = sum(gradu[i * d + i] for i in range(d))
+        symsq = 0.0
+        for i in range(d):
+            for j in range(d):
+                s = 0.5 * (gradu[i * d + j] + gradu[j * d + i])
+                symsq = symsq + s * s
+        return 0.5 * p["lambda"][0] * div * div + p["mu"][0] * symsq
 
 
 class NeoHookeanEnergy(ADFunction):
@@ -219,10 +366,18 @@ class NeoHookeanEnergy(ADFunction):
 
     def energy(self, gradu, p):
         d = self.dim
-        F = gradu.reshape(d, d) + jnp.eye(d, dtype=gradu.dtype)
         lam, mu = p["lambda"][0], p["mu"][0]
-        I1 = jnp.sum(F * F)
-        logJ = jnp.log(jnp.linalg.det(F))
+        # flat row-major F = I + grad u, built per scalar component with
+        # Python-float identity entries: no reshape-to-matrix and no array
+        # constants, so the AD graph stays pure elementwise arithmetic and
+        # the fused Pallas kernel can lower it (Mosaic rejects both the
+        # minor-dim reshape and captured array constants)
+        Fc = tuple(
+            gradu[k] + (1.0 if k % (d + 1) == 0 else 0.0)
+            for k in range(d * d)
+        )
+        I1 = sum(c * c for c in Fc)
+        logJ = _CORES[d][0](*Fc)
         return 0.5 * mu * (I1 - d) - mu * logJ + 0.5 * lam * logJ * logJ
 
 

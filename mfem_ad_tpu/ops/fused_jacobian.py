@@ -25,16 +25,27 @@ Constraints (callers fall back to the XLA path otherwise):
 - element-shared B tables (the structured/uniform-mesh case), so R/W are
   single small matrices that live in VMEM;
 - element-shared static parameters and quadrature weights;
-- single-space integrators (the bench-critical case).
+- single-space integrators (the bench-critical case);
+- the point energy must trace to pure elementwise scalar arithmetic —
+  no reshape-to-matrix (Mosaic cannot split the minor dim of the vmapped
+  AD graph), no tiny dot_general, no traced array constants.  The whole
+  built-in energy library satisfies this: Mass/Diffusion/Elasticity are
+  scalar-unrolled, and neo-Hookean's log(det F) goes through the
+  component-level custom-JVP core in ad.py (logdet_flat), whose
+  derivative rules are product forms — the raw nested-jvp division
+  chains of log∘det are exactly what Mosaic miscompiled in round 1.
 
-Status (v5e, 2026-08): compiles and matches the XLA path to f32-matmul
-noise for polynomial energies (mass, diffusion, elasticity, det-powers).
-Energies whose second derivative goes through division/log (neo-Hookean's
-log det J) currently produce wrong values under Mosaic — an upstream
-compiler issue with nested-jvp division chains (interpret mode and CPU
-agree with the XLA path exactly).  The framework therefore keeps the XLA
-GEMM path (integrator.element_matrices) as the default and treats this
-kernel as an opt-in for polynomial energies.
+Status (v5e, 2026-08, round 2): compiles and matches the XLA path to
+f32-matmul noise (~1e-5 rel) for the full energy library INCLUDING
+neo-Hookean, verified on-chip against the XLA GEMM path
+(tests/test_tpu_smoke.py).  Performance: 6.4M elem/s vs the XLA path's
+178.7M at Q1/2D — the statically-unrolled per-qp dots (shapes like
+[64, 4] x [4, blk]) starve the MXU, while XLA's single
+[ne, nq n^2] @ [nq n^2, nde^2] GEMM saturates it.  The XLA route
+therefore stays the default; opt in with MFEM_AD_TPU_FUSED=1 (see
+integrator.element_jacobians).  Next step for this kernel: accumulate
+all qps' Hessians in VMEM ([nq n^2, blk], ~0.5 MB) and contract with ONE
+[nde^2, nq n^2] dot per block.
 """
 
 from __future__ import annotations
@@ -157,10 +168,14 @@ def supports_fused(intg, s: int = 0) -> bool:
 
 
 def element_jacobian_via_pallas(intg, ublocks, interpret: bool = False,
-                                block: int = 512):
+                                block: int = 512, tables=None):
     """Drop-in fused replacement for
-    ``intg.element_matrices(intg.hess_state(ublocks), 0, 0)``."""
-    t = intg.tables
+    ``intg.element_matrices(intg.hess_state(ublocks), 0, 0)``.
+
+    Pass ``tables`` explicitly inside jit so the tabulated tensors are jit
+    arguments rather than embedded constants (same rule as the XLA path).
+    """
+    t = tables or intg.tables
     ne = t["edof"][0].shape[0]
     ue = intg.gather(0, ublocks[0], t)  # [ne, nd, vdim]
     ue2 = ue.transpose(0, 2, 1).reshape(ne, -1)

@@ -5,6 +5,7 @@ built-in energy library and subgradient max/min tie handling."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 import mfem_ad_tpu as ft
@@ -157,3 +158,52 @@ def test_diff_energy():
     x = np.array([3.0, 2.0])
     p = {"target": jnp.array([1.0, 1.0])}
     assert np.isclose(float(f(x, p)), 0.5 * (4.0 + 1.0))
+
+
+class TestLogdet:
+    """Custom-JVP logdet/inv_t (the Mosaic-safe hyperelasticity form) must
+    agree with jnp.log(jnp.linalg.det(.)) to machine precision through
+    every AD composition the framework uses (grad, jacfwd∘grad,
+    jacfwd∘jacfwd∘grad, jacrev∘grad)."""
+
+    def _pair(self, d, seed):
+        import numpy as np
+
+        from mfem_ad_tpu.ad import logdet
+
+        rng = np.random.default_rng(seed)
+        F = jnp.asarray(np.eye(d) + 0.2 * rng.standard_normal((d, d)))
+        f = lambda v: logdet(v.reshape(d, d))  # noqa: E731
+        g = lambda v: jnp.log(jnp.linalg.det(v.reshape(d, d)))  # noqa: E731
+        return F.ravel(), f, g
+
+    @pytest.mark.parametrize("d", [2, 3])
+    def test_matches_plain_to_third_order(self, d):
+        v, f, g = self._pair(d, d)
+        assert jnp.allclose(f(v), g(v), atol=1e-12)
+        assert jnp.allclose(jax.grad(f)(v), jax.grad(g)(v), atol=1e-12)
+        h = jax.jacfwd(jax.grad(f))(v)
+        assert jnp.allclose(h, jax.jacfwd(jax.grad(g))(v), atol=1e-12)
+        t3 = jax.jacfwd(jax.jacfwd(jax.grad(f)))(v)
+        assert jnp.allclose(
+            t3, jax.jacfwd(jax.jacfwd(jax.grad(g)))(v), atol=1e-11
+        )
+
+    @pytest.mark.parametrize("d", [2, 3])
+    def test_reverse_over_custom_jvp(self, d):
+        v, f, g = self._pair(d, 10 + d)
+        assert jnp.allclose(
+            jax.jacrev(jax.grad(f))(v), jax.jacrev(jax.grad(g))(v),
+            atol=1e-12,
+        )
+
+    def test_inv_t_value(self):
+        import numpy as np
+
+        from mfem_ad_tpu.ad import inv_t
+
+        rng = np.random.default_rng(7)
+        for d in (1, 2, 3):
+            F = np.eye(d) + 0.3 * rng.standard_normal((d, d))
+            got = np.asarray(inv_t(jnp.asarray(F)))
+            np.testing.assert_allclose(got, np.linalg.inv(F).T, atol=1e-12)

@@ -69,3 +69,18 @@ def test_supports_fused_rejects_unstructured():
     intg = ADBlockIntegrator(DiffusionEnergy(2), [fes], [ADEval.GRAD])
     # triangle split meshes have two element orientations -> B not shared
     assert not supports_fused(intg)
+
+
+def test_element_jacobians_router_matches_two_stage():
+    """integrator.element_jacobians (the auto-router) must equal the
+    explicit hess_state + element_matrices composition (CPU: XLA route)."""
+    m = M.make_cartesian_2d(4, 4)
+    fes = FESpace(m, 1, vdim=2)
+    intg = ADBlockIntegrator(
+        NeoHookeanEnergy(2, 1.0, 1.0), [fes], [ADEval.GRAD | ADEval.VECTOR]
+    )
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(0.02 * rng.standard_normal(fes.ndof))
+    A_router = np.asarray(intg.element_jacobians([u]))
+    A_ref = np.asarray(intg.element_matrices(intg.hess_state([u]), 0, 0))
+    np.testing.assert_allclose(A_router, A_ref, rtol=0, atol=1e-12)
