@@ -38,14 +38,19 @@ Constraints (callers fall back to the XLA path otherwise):
 Status (v5e, 2026-08, round 2): compiles and matches the XLA path to
 f32-matmul noise (~1e-5 rel) for the full energy library INCLUDING
 neo-Hookean, verified on-chip against the XLA GEMM path
-(tests/test_tpu_smoke.py).  Performance: 6.4M elem/s vs the XLA path's
-178.7M at Q1/2D — the statically-unrolled per-qp dots (shapes like
-[64, 4] x [4, blk]) starve the MXU, while XLA's single
-[ne, nq n^2] @ [nq n^2, nde^2] GEMM saturates it.  The XLA route
-therefore stays the default; opt in with MFEM_AD_TPU_FUSED=1 (see
-integrator.element_jacobians).  Next step for this kernel: accumulate
-all qps' Hessians in VMEM ([nq n^2, blk], ~0.5 MB) and contract with ONE
-[nde^2, nq n^2] dot per block.
+(tests/test_tpu_smoke.py).  Performance at Q1/2D/262k elements:
+6.4M elem/s for the first version (per-qp [64,4]x[4,blk] dots starving
+the MXU + 1-D [blk] AD ops on one sublane), 11.4M after (a) a single
+k = nq n^2 contraction per block and (b) batching the AD stage over
+(qp, element) so elementwise ops run on [nq, blk] 2-D tiles — still
+15x below the XLA path's 177.7M, whose megafused
+[ne nq]-batched AD + [ne, nq n^2] @ [nq n^2, nde^2] GEMM saturates both
+units.  blk > 512 exceeds even a raised 64 MB scoped-VMEM cap (the
+row-HVP live set scales with blk).  The XLA route therefore stays the
+default; opt in with MFEM_AD_TPU_FUSED=1 (see
+integrator.element_jacobians).  The kernel remains the right shape for
+the HBM-bound regime (very high order / 3D, where Hq spills) — not the
+bench-critical one.
 """
 
 from __future__ import annotations
@@ -72,24 +77,44 @@ def _kernel(energy, nq, n, pnames, uet_ref, R_ref, Wt_ref,
                 precision=jax.lax.Precision.HIGHEST)
     x3 = x.reshape(nq, n, blk)  # leading-dim split: Mosaic-legal
 
-    hess_pt = jax.jacfwd(jax.grad(energy))
-    per_pt = jax.vmap(hess_pt, in_axes=(1, None), out_axes=2)
+    # Batch the AD stage over BOTH the element-lane axis and the qp axis:
+    # the scalar-unrolled energy graphs turn every elementwise AD op into
+    # an op on a [nq, blk] 2-D tile (qp on sublanes, elements on lanes).
+    # The earlier per-qp loop ran the same ops on 1-D [blk] vectors, which
+    # Mosaic lays out on a single sublane — 1/8 of the VPU.  To keep the
+    # live-intermediate set within VMEM, compute the Hessian one ROW at a
+    # time (n Hessian-vector products with basis tangents) instead of one
+    # jacfwd-of-grad (whose n simultaneous tangents multiply every live
+    # intermediate by n — measured 71.7 MB scoped VMEM vs the ~64 MB cap).
+    grad_e = jax.grad(energy)
 
-    # Statically-unrolled qp loop: contracting each qp's Hessian into the
-    # accumulator immediately keeps peak VMEM at one qp's AD graph (the
-    # all-qps-at-once form allocates ~100 MB of live intermediates).
-    # Quadrature weights are pre-folded into Wt on the host.
-    acc = jnp.zeros((out_ref.shape[0], blk), dt)
-    for q in range(nq):
-        pq = {k: r[q] for k, r in zip(pnames, param_refs)}
-        Hq = per_pt(x3[q], pq)  # [n, n, blk], element axis minor
-        acc = acc + jnp.dot(
-            Wt_ref[:, q * n * n : (q + 1) * n * n],
-            Hq.reshape(n * n, blk),
-            preferred_element_type=dt,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    out_ref[:] = acc
+    def hvp(j, xq, pq):  # xq [n] one point; row j of its Hessian
+        ej = [jnp.zeros((), dt)] * n
+        ej[j] = jnp.ones((), dt)
+        _, hj = jax.jvp(lambda xx: grad_e(xx, pq), (xq,),
+                        (jnp.stack(ej),))
+        return hj  # [n]
+
+    pall = {k: r[:] for k, r in zip(pnames, param_refs)}  # [nq, kparam]
+    rows = []
+    for j in range(n):
+        row = jax.vmap(  # over qps (axis 0 of x3 and of each param)
+            jax.vmap(lambda xq, pq, j=j: hvp(j, xq, pq),
+                     in_axes=(1, None), out_axes=1),  # over element lanes
+            in_axes=(0, 0), out_axes=0,
+        )(x3, pall)  # [nq, n, blk]
+        rows.append(row)
+    Hq = jnp.stack(rows, axis=1)  # [nq, n(row), n, blk]
+    Hall = Hq.reshape(nq * n * n, blk)  # leading-dim merge: Mosaic-legal
+    # Contract with ONE k = nq*n*n dot (quadrature weights pre-folded into
+    # Wt on the host): nq tiny k=n*n dots ran the MXU at ~12% of a k-tile
+    # and benched 28x slower than the XLA path.
+    out_ref[:] = jnp.dot(
+        Wt_ref[:],
+        Hall,
+        preferred_element_type=dt,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def fused_element_jacobian(
@@ -145,6 +170,11 @@ def fused_element_jacobian(
         ),
         out_shape=jax.ShapeDtypeStruct((nde * nde, nep), ue.dtype),
         interpret=interpret,
+        **({} if interpret else {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+        }),
     )(uet, R, Wt, *pvals)
     return out[:, :ne].T.reshape(ne, nde, nde)
 

@@ -53,8 +53,15 @@ def cg(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000):
     gamma0 = jnp.vdot(r0, z0)
     target2 = jnp.maximum(tol, atol / bsafe) ** 2  # vs ||r||/||b||
 
+    # Stagnation exit: with TPU-emulated f64 a tight tol (1e-13) can sit
+    # just below the attainable residual, and without this the while_loop
+    # spins to maxiter on EVERY solve (measured: ~4 s/Newton step at 5k
+    # dofs with maxiter=20000).  Stop when 60 iterations pass without the
+    # best residual improving by 0.1%.
+    stall_limit = min(60, maxiter)
+
     def body(carry):
-        x, r, p, gamma, k = carry
+        x, r, p, gamma, k, best, stall = carry
         Ap = matvec(p)
         denom = jnp.vdot(p, Ap)
         alpha = jnp.where(denom != 0, gamma / jnp.where(denom == 0, 1.0, denom), 0.0)
@@ -64,16 +71,23 @@ def cg(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000):
         gamma_new = jnp.vdot(r, z)
         beta = jnp.where(gamma != 0, gamma_new / jnp.where(gamma == 0, 1.0, gamma), 0.0)
         p = z + beta * p
-        return x, r, p, gamma_new, k + 1
+        rs = jnp.vdot(r, r)
+        improved = rs < best * (1.0 - 1e-3)
+        best = jnp.minimum(best, rs)
+        stall = jnp.where(improved, 0, stall + 1)
+        return x, r, p, gamma_new, k + 1, best, stall
 
     def cond(carry):
-        _, r, _, gamma, k = carry
+        _, r, _, gamma, k, _, stall = carry
         rs = jnp.vdot(r, r)
-        return jnp.logical_and(
-            jnp.logical_and(k < maxiter, rs > target2), gamma != 0
-        )
+        ok = jnp.logical_and(k < maxiter, rs > target2)
+        ok = jnp.logical_and(ok, gamma != 0)
+        return jnp.logical_and(ok, stall < stall_limit)
 
-    out = jax.lax.while_loop(cond, body, (x0n, r0, z0, gamma0, 0))
+    out = jax.lax.while_loop(
+        cond, body,
+        (x0n, r0, z0, gamma0, 0, jnp.vdot(r0, r0), 0),
+    )
     return out[0] * bsafe
 
 
@@ -110,9 +124,14 @@ def minres(matvec, b, x0=None, M=None, tol=1e-10, maxiter=1000):
     norm_b = jnp.linalg.norm(b)
     z = jnp.zeros_like(b)
 
-    # Paige–Saunders MINRES with preconditioning.
+    # Paige–Saunders MINRES with preconditioning.  Same stagnation exit as
+    # cg(): emulated-f64 floors can sit just above a tight tol, and an
+    # unconditional spin to maxiter costs seconds per solve.
+    stall_limit = min(60, maxiter)
+
     def body(carry):
-        (x, r1, r2, y, oldb, beta, dbar, epsln, phibar, cs, sn, w, w2, it) = carry
+        (x, r1, r2, y, oldb, beta, dbar, epsln, phibar, cs, sn, w, w2, it,
+         best, stall) = carry
         bsafe = jnp.where(beta == 0, 1.0, beta)
         v = y / bsafe
         yv = matvec(v)
@@ -137,21 +156,26 @@ def minres(matvec, b, x0=None, M=None, tol=1e-10, maxiter=1000):
         w1, w2n = w2, w
         wn = (v - oldeps * w1 - delta * w2n) / gamma
         xn = x + phi * wn
+        improved = phibar_n < best * (1.0 - 1e-3)
+        best_n = jnp.minimum(best, phibar_n)
+        stall_n = jnp.where(improved, 0, stall + 1)
         return (
             xn, r1n, r2n, yn, oldb_n, beta_n, dbar_n, epsln_n, phibar_n,
-            cs_n, sn_n, wn, w2n, it + 1,
+            cs_n, sn_n, wn, w2n, it + 1, best_n, stall_n,
         )
 
     def cond(carry):
-        phibar, it = carry[8], carry[13]
-        return jnp.logical_and(
+        phibar, it, stall = carry[8], carry[13], carry[15]
+        ok = jnp.logical_and(
             it < maxiter, phibar > tol * jnp.maximum(norm_b, 1e-30)
         )
+        return jnp.logical_and(ok, stall < stall_limit)
 
     carry = (
         x0, r1, r1, y, jnp.asarray(0.0, dt), beta1, jnp.asarray(0.0, dt),
         jnp.asarray(0.0, dt), beta1, jnp.asarray(-1.0, dt),
         jnp.asarray(0.0, dt), z, z, jnp.asarray(0, jnp.int32),
+        beta1, jnp.asarray(0, jnp.int32),
     )
     out = jax.lax.while_loop(cond, body, carry)
     return out[0]
