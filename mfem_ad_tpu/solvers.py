@@ -53,15 +53,19 @@ def cg(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000):
     gamma0 = jnp.vdot(r0, z0)
     target2 = jnp.maximum(tol, atol / bsafe) ** 2  # vs ||r||/||b||
 
-    # Stagnation exit: with TPU-emulated f64 a tight tol (1e-13) can sit
-    # just below the attainable residual, and without this the while_loop
-    # spins to maxiter on EVERY solve (measured: ~4 s/Newton step at 5k
-    # dofs with maxiter=20000).  Stop when 60 iterations pass without the
-    # best residual improving by 0.1%.
-    stall_limit = min(60, maxiter)
+    # Floor exit: with TPU-emulated f64 a tight tol (1e-13) can sit just
+    # below the attainable residual, and without this the while_loop spins
+    # to maxiter on EVERY solve (measured: ~4 s/Newton step at 5k dofs
+    # with maxiter=20000).  Criterion: every `window` iterations, require
+    # at least 1% cumulative reduction of the best residual over the
+    # window, else stop.  (A short no-improvement counter is NOT safe:
+    # PCG residuals plateau for long stretches on ill-conditioned LVPP
+    # Schur systems while still converging — a 60-iteration/0.1% version
+    # of this exit broke ex4's Newton at alpha >= 1.6.)
+    window = min(200, maxiter)
 
     def body(carry):
-        x, r, p, gamma, k, best, stall = carry
+        x, r, p, gamma, k, best, mark, stall = carry
         Ap = matvec(p)
         denom = jnp.vdot(p, Ap)
         alpha = jnp.where(denom != 0, gamma / jnp.where(denom == 0, 1.0, denom), 0.0)
@@ -71,22 +75,23 @@ def cg(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000):
         gamma_new = jnp.vdot(r, z)
         beta = jnp.where(gamma != 0, gamma_new / jnp.where(gamma == 0, 1.0, gamma), 0.0)
         p = z + beta * p
-        rs = jnp.vdot(r, r)
-        improved = rs < best * (1.0 - 1e-3)
-        best = jnp.minimum(best, rs)
-        stall = jnp.where(improved, 0, stall + 1)
-        return x, r, p, gamma_new, k + 1, best, stall
+        best = jnp.minimum(best, jnp.vdot(r, r))
+        at_window = (k + 1) % window == 0
+        stall = jnp.logical_and(at_window, best > mark * (1.0 - 1e-2))
+        mark = jnp.where(at_window, best, mark)
+        return x, r, p, gamma_new, k + 1, best, mark, stall
 
     def cond(carry):
-        _, r, _, gamma, k, _, stall = carry
+        _, r, _, gamma, k, _, _, stall = carry
         rs = jnp.vdot(r, r)
         ok = jnp.logical_and(k < maxiter, rs > target2)
         ok = jnp.logical_and(ok, gamma != 0)
-        return jnp.logical_and(ok, stall < stall_limit)
+        return jnp.logical_and(ok, jnp.logical_not(stall))
 
+    rs0 = jnp.vdot(r0, r0)
     out = jax.lax.while_loop(
         cond, body,
-        (x0n, r0, z0, gamma0, 0, jnp.vdot(r0, r0), 0),
+        (x0n, r0, z0, gamma0, 0, rs0, rs0, jnp.asarray(False)),
     )
     return out[0] * bsafe
 
@@ -124,14 +129,16 @@ def minres(matvec, b, x0=None, M=None, tol=1e-10, maxiter=1000):
     norm_b = jnp.linalg.norm(b)
     z = jnp.zeros_like(b)
 
-    # Paige–Saunders MINRES with preconditioning.  Same stagnation exit as
-    # cg(): emulated-f64 floors can sit just above a tight tol, and an
-    # unconditional spin to maxiter costs seconds per solve.
-    stall_limit = min(60, maxiter)
+    # Paige–Saunders MINRES with preconditioning.  Same windowed floor
+    # exit as cg(): emulated-f64 floors can sit just above a tight tol,
+    # and an unconditional spin to maxiter costs seconds per solve.
+    # phibar is monotone in MINRES, so "best" is just the current phibar;
+    # require >= 1% reduction per 200-iteration window.
+    window = min(200, maxiter)
 
     def body(carry):
         (x, r1, r2, y, oldb, beta, dbar, epsln, phibar, cs, sn, w, w2, it,
-         best, stall) = carry
+         mark, stall) = carry
         bsafe = jnp.where(beta == 0, 1.0, beta)
         v = y / bsafe
         yv = matvec(v)
@@ -156,12 +163,12 @@ def minres(matvec, b, x0=None, M=None, tol=1e-10, maxiter=1000):
         w1, w2n = w2, w
         wn = (v - oldeps * w1 - delta * w2n) / gamma
         xn = x + phi * wn
-        improved = phibar_n < best * (1.0 - 1e-3)
-        best_n = jnp.minimum(best, phibar_n)
-        stall_n = jnp.where(improved, 0, stall + 1)
+        at_window = (it + 1) % window == 0
+        stall_n = jnp.logical_and(at_window, phibar_n > mark * (1.0 - 1e-2))
+        mark_n = jnp.where(at_window, phibar_n, mark)
         return (
             xn, r1n, r2n, yn, oldb_n, beta_n, dbar_n, epsln_n, phibar_n,
-            cs_n, sn_n, wn, w2n, it + 1, best_n, stall_n,
+            cs_n, sn_n, wn, w2n, it + 1, mark_n, stall_n,
         )
 
     def cond(carry):
@@ -169,13 +176,13 @@ def minres(matvec, b, x0=None, M=None, tol=1e-10, maxiter=1000):
         ok = jnp.logical_and(
             it < maxiter, phibar > tol * jnp.maximum(norm_b, 1e-30)
         )
-        return jnp.logical_and(ok, stall < stall_limit)
+        return jnp.logical_and(ok, jnp.logical_not(stall))
 
     carry = (
         x0, r1, r1, y, jnp.asarray(0.0, dt), beta1, jnp.asarray(0.0, dt),
         jnp.asarray(0.0, dt), beta1, jnp.asarray(-1.0, dt),
         jnp.asarray(0.0, dt), z, z, jnp.asarray(0, jnp.int32),
-        beta1, jnp.asarray(0, jnp.int32),
+        beta1, jnp.asarray(False),
     )
     out = jax.lax.while_loop(cond, body, carry)
     return out[0]

@@ -124,6 +124,29 @@ def test_obstacle_lvpp_regression():
 
 
 @pytest.mark.slow
+def test_obstacle_schur_gmg_large_alpha_regression():
+    """ex4 at its shipped solver path (Schur elimination + GMG-CG) with the
+    EXP alpha schedule into the ill-conditioned regime.
+
+    Regression: a 60-iteration/0.1% CG stagnation exit aborted the
+    condensed solve mid-plateau at alpha >= 1.6 (PCG residuals stall for
+    long stretches on these systems while still converging), and the bad
+    step made Newton diverge (||r|| ~ 1e4) — ex4 at reference defaults
+    stopped unconverged at PG it 5.  order=2/ref=1 is the smallest config
+    that reproduced; order=1/ref=0 passed even with the broken exit."""
+    from mfem_ad_tpu.models import obstacle
+
+    res, pb = obstacle.solve(
+        order=2, ref_levels=1,
+        rule_type=PGStepSizeRule.EXP, alpha0=0.1, ratio=2.0,
+        lin_solver="schur", max_pg_iter=40,
+    )
+    assert res.converged
+    u = np.asarray(res.x[: pb.primal_space.ndof])
+    assert u.min() > -1e-8 and u.max() < 0.5 + 5e-3
+
+
+@pytest.mark.slow
 def test_gradient_obstacle_lvpp_regression():
     """ex5 equivalent: Hellinger entropy on H1xH1^d triangle spaces."""
     from mfem_ad_tpu.models import gradient_obstacle
