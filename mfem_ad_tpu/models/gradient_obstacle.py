@@ -94,12 +94,15 @@ def solve(
     tol: float = 1e-8,
     verbose: bool = False,
     n0: int = 10,
+    lin_maxiter: int = 2000,
 ):
     pb = build(order, ref_levels, n0=n0)
     rule = PGStepSizeRule(rule_type, alpha0, max_alpha, ratio, ratio2)
     nopts = NewtonOptions(
         abs_tol=1e-9, rel_tol=0.0, max_iter=20, lin_solver=lin_solver,
-        lin_tol=1e-13, lin_maxiter=20000,
+        # bounded like obstacle.solve: one jitted execution must stay in
+        # the seconds range on the tunneled TPU worker
+        lin_tol=1e-13, lin_maxiter=lin_maxiter,
         preconditioner=None if lin_solver in ("dense", "schur") else "jacobi",
     )
     solver = PGSolver(

@@ -113,6 +113,7 @@ def solve(
     verbose: bool = False,
     n0: int = 10,
     gmg: bool = True,
+    lin_maxiter: int = 2000,
 ):
     pb = build(order, ref_levels, n0=n0)
     rule = PGStepSizeRule(rule_type, alpha0, max_alpha, ratio, ratio2)
@@ -123,7 +124,11 @@ def solve(
         precond = "jacobi"
     nopts = NewtonOptions(
         abs_tol=1e-9, rel_tol=0.0, max_iter=20, lin_solver=lin_solver,
-        lin_tol=1e-13, lin_maxiter=20000,
+        # 2000 CG iterations bounds one jitted execution to seconds: the
+        # tunneled TPU worker kills executions that run for minutes, and
+        # a GMG+active-set-Jacobi solve that hasn't converged by 2000 is
+        # at its floor anyway (the windowed exit usually fires first).
+        lin_tol=1e-13, lin_maxiter=lin_maxiter,
         preconditioner=precond,
     )
     solver = PGSolver(

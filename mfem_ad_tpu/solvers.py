@@ -216,8 +216,8 @@ def _batched_inv_small(A):
 
 
 def _schur_solve_traced(form, tables, ess, state, r, tol: float,
-                        maxiter: int, reg: float = 1e-10,
-                        jacobi: bool = True, refine: int = 0,
+                        maxiter: int, reg: float = 1e-6,
+                        jacobi: bool = True, refine: int = 1,
                         lumped: bool = False, Mextra=None):
     """Traced (jit-safe) Schur reduction of the 2-block LVPP saddle Jacobian
     [[A, C], [C^T, -D]] with an element-block-diagonal latent block D
@@ -264,12 +264,18 @@ def _schur_solve_traced(form, tables, ess, state, r, tol: float,
         De = -intg.element_matrices(Hq, lb, lb, tables=t)  # [ne, ndl, ndl]
         ne, ndl, _ = De.shape
         # E*'' underflows where the mirror map saturates (the active set),
-        # making D_e numerically singular; a tiny relative shift keeps the
-        # condensed system solvable — the perturbed direction differs only
-        # where the latent is already converged.  The additional absolute
-        # mass-scaled floor guards the fully-flushed case: TPU-emulated
-        # f64 keeps float32 exponent RANGE (~1e+-38), so entire blocks can
-        # flush to exactly zero there and dmax alone would be 0.
+        # making D_e numerically singular; a relative shift keeps the
+        # condensed system solvable.  The shift size is load-bearing: near
+        # the Newton solution the TRUE step stays O(1e2) even at
+        # ||r|| ~ 1e-6 (the system is nearly singular), and a too-small
+        # shift amplifies solve noise by 1/(reg*dmax) into a divergent
+        # step.  Measured at the ex4/ref-2 failure state vs a dense solve:
+        # reg=1e-10 -> relative step error 1.1e+2 (Newton diverges),
+        # reg=1e-6 + 1 refinement pass -> 4e-5 (matches dense).  The
+        # additional absolute mass-scaled floor guards the fully-flushed
+        # case: TPU-emulated f64 keeps float32 exponent RANGE (~1e+-38),
+        # so entire blocks can flush to exactly zero there and dmax alone
+        # would be 0.
         dmax = jnp.max(jnp.abs(De))
         eye = jnp.eye(ndl, dtype=De.dtype)
         Bl = t["B"][lb][..., 0]  # [1|ne, nq, ndl] latent VALUE shapes
@@ -349,7 +355,7 @@ def _schur_solve_traced(form, tables, ess, state, r, tol: float,
 
 def make_pg_schur_solver(latent_block: int = 1, tol: float = 1e-12,
                          maxiter: int = 2000, jacobi: bool = True,
-                         reg: float = 1e-10):
+                         reg: float = 1e-6):
     """Exact Schur reduction of the LVPP saddle Jacobian — the TPU-native
     replacement for the reference's monolithic MUMPS solve (tools.hpp:
     128-154, used at ex4.cpp:166).
@@ -435,18 +441,20 @@ def _make_precond(form, state, spec):
 
 
 def _fused_newton_step(form, opts: "NewtonOptions"):
-    """One Newton update (residual + Jacobian state + preconditioned Krylov
-    solve + update) as a single jitted program with the form's tabulated
+    """One Newton direction (residual + Jacobian state + preconditioned
+    Krylov solve) as a single jitted program with the form's tabulated
     tensors passed as arguments (closed-over tables become XLA constants,
     which wrecks compile time on TPU).  Cached on the form per option set.
+    Returns the direction ``c``; the host loop applies ``x - d*c`` so it
+    can backtrack on a residual increase without re-solving.
 
     GMG preconditioners (multigrid.GMG.as_preconditioner) participate via
     the fused protocol: their level data is the extra ``pdata`` argument.
     """
     fp = getattr(opts.preconditioner, "fused_precond", None)
     key = (
-        "newton_step", opts.lin_solver, opts.lin_tol, opts.lin_maxiter,
-        id(fp) if fp is not None else opts.preconditioner, opts.damping,
+        "newton_dir", opts.lin_solver, opts.lin_tol, opts.lin_maxiter,
+        id(fp) if fp is not None else opts.preconditioner,
     )
 
     def step(tables, ess, x, b, fields, pdata):
@@ -460,11 +468,10 @@ def _fused_newton_step(form, opts: "NewtonOptions"):
             Mx = None
             if fp is not None and hasattr(fp, "apply_primal"):
                 Mx = lambda v: fp.apply_primal(pdata, v)  # noqa: E731
-            c = _schur_solve_traced(
+            return _schur_solve_traced(
                 form, tables, ess, state, r, opts.lin_tol,
                 opts.lin_maxiter, lumped=lumped, Mextra=Mx,
             )
-            return x - opts.damping * c
         mv = lambda v: form.grad_mult_raw(tables, ess, state, v)  # noqa: E731
         M = None
         if fp is not None:
@@ -474,12 +481,36 @@ def _fused_newton_step(form, opts: "NewtonOptions"):
             d = jnp.abs(form.grad_diag_raw(tables, ess, state))
             safe = jnp.where(d < 1e-30, 1.0, d)
             M = lambda v: v / safe  # noqa: E731
-        c = _KRYLOV[opts.lin_solver](
+        return _KRYLOV[opts.lin_solver](
             mv, r, M=M, tol=opts.lin_tol, maxiter=opts.lin_maxiter
         )
-        return x - opts.damping * c
 
     return form._jit(key, step)
+
+
+def _apply_step(form, x, c, b, fields, norm, opts):
+    """``x - d*c`` with a backtracking safeguard: halve ``d`` (up to 4
+    times) while the step increases the residual norm, and keep the least-
+    bad candidate if every damping fails.  Plain Newton accepts every
+    step; this only engages on steps that would grow ``||r||`` — e.g. a
+    noise-amplified direction from a nearly-singular LVPP Schur system —
+    and costs one extra residual evaluation per Newton iteration.
+    """
+    def rnorm(xn):
+        rn = form.mult(xn, fields) - b
+        return float(jnp.linalg.norm(jnp.where(form.ess_mask, 0.0, rn)))
+
+    d = opts.damping
+    best_x, best_n = None, np.inf
+    for _ in range(5):
+        xn = x - d * c
+        nn = rnorm(xn)
+        if nn <= norm * (1.0 + 1e-10):
+            return xn
+        if nn < best_n:
+            best_x, best_n = xn, nn
+        d *= 0.5
+    return best_x
 
 
 def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
@@ -543,7 +574,8 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
         if it == opts.max_iter:
             break
         if fused:
-            x = step(form._tables(), form.ess_mask, x, b, fields, pdata)
+            c = step(form._tables(), form.ess_mask, x, b, fields, pdata)
+            x = _apply_step(form, x, c, b, fields, norm, opts)
             continue
         state = form.grad_state(x, fields)
         if opts.lin_solver == "dense":
@@ -558,7 +590,7 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
             c = solve(
                 mv, r, M=M, tol=opts.lin_tol, maxiter=opts.lin_maxiter
             )
-        x = x - opts.damping * c
+        x = _apply_step(form, x, c, b, fields, norm, opts)
 
     return NewtonResult(
         x=x,
