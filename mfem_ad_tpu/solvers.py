@@ -31,41 +31,23 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
-def cg(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000):
-    """Preconditioned CG with division guards and a normalized RHS.
+def _pcg_kernel(matvec, M, target2, window: int):
+    """The guarded-PCG loop body/cond shared by ``cg`` and the chunked
+    Schur driver.  Carry: (x, r, p, gamma, k, best, mark, stall, kend).
 
-    Not jax.scipy's: TPU-emulated f64 keeps float32 exponent RANGE, so the
-    squared residual norms of a nearly-converged solve flush to zero and
-    jax.scipy's unguarded gamma/denom becomes 0/0 = NaN.  Here every
-    division is guarded (a zero denominator terminates progress instead of
-    poisoning the iterate) and the system is solved for b/||b|| so the
-    monitored quantities stay O(1).
+    Floor exit: with TPU-emulated f64 a tight tol (1e-13) can sit just
+    below the attainable residual, and without this the while_loop spins
+    to maxiter on EVERY solve (measured: ~4 s/Newton step at 5k dofs
+    with maxiter=20000).  Criterion: every `window` iterations, require
+    at least 1% cumulative reduction of the best residual over the
+    window, else stop.  (A short no-improvement counter is NOT safe:
+    PCG residuals plateau for long stretches on ill-conditioned LVPP
+    Schur systems while still converging — a 60-iteration/0.1% version
+    of this exit broke ex4's Newton at alpha >= 1.6.)
     """
-    norm_b = jnp.linalg.norm(b)
-    bsafe = jnp.where(norm_b == 0, 1.0, norm_b)
-    bn = b / bsafe
-    if M is None:
-        M = lambda v: v  # noqa: E731
-    x0n = jnp.zeros_like(b) if x0 is None else x0 / bsafe
-
-    r0 = bn - matvec(x0n)
-    z0 = M(r0)
-    gamma0 = jnp.vdot(r0, z0)
-    target2 = jnp.maximum(tol, atol / bsafe) ** 2  # vs ||r||/||b||
-
-    # Floor exit: with TPU-emulated f64 a tight tol (1e-13) can sit just
-    # below the attainable residual, and without this the while_loop spins
-    # to maxiter on EVERY solve (measured: ~4 s/Newton step at 5k dofs
-    # with maxiter=20000).  Criterion: every `window` iterations, require
-    # at least 1% cumulative reduction of the best residual over the
-    # window, else stop.  (A short no-improvement counter is NOT safe:
-    # PCG residuals plateau for long stretches on ill-conditioned LVPP
-    # Schur systems while still converging — a 60-iteration/0.1% version
-    # of this exit broke ex4's Newton at alpha >= 1.6.)
-    window = min(200, maxiter)
 
     def body(carry):
-        x, r, p, gamma, k, best, mark, stall = carry
+        x, r, p, gamma, k, best, mark, stall, kend = carry
         Ap = matvec(p)
         denom = jnp.vdot(p, Ap)
         alpha = jnp.where(denom != 0, gamma / jnp.where(denom == 0, 1.0, denom), 0.0)
@@ -79,19 +61,50 @@ def cg(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000):
         at_window = (k + 1) % window == 0
         stall = jnp.logical_and(at_window, best > mark * (1.0 - 1e-2))
         mark = jnp.where(at_window, best, mark)
-        return x, r, p, gamma_new, k + 1, best, mark, stall
+        return x, r, p, gamma_new, k + 1, best, mark, stall, kend
 
     def cond(carry):
-        _, r, _, gamma, k, _, _, stall = carry
+        _, r, _, gamma, k, _, _, stall, kend = carry
         rs = jnp.vdot(r, r)
-        ok = jnp.logical_and(k < maxiter, rs > target2)
+        ok = jnp.logical_and(k < kend, rs > target2)
         ok = jnp.logical_and(ok, gamma != 0)
         return jnp.logical_and(ok, jnp.logical_not(stall))
 
+    return body, cond
+
+
+def _pcg_init(matvec, M, bn, x0n, kend):
+    """Initial PCG carry for the normalized system."""
+    r0 = bn - matvec(x0n)
+    z0 = M(r0)
+    gamma0 = jnp.vdot(r0, z0)
     rs0 = jnp.vdot(r0, r0)
+    return (x0n, r0, z0, gamma0, jnp.asarray(0, jnp.int32), rs0, rs0,
+            jnp.asarray(False), jnp.asarray(kend, jnp.int32))
+
+
+def cg(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000):
+    """Preconditioned CG with division guards and a normalized RHS.
+
+    Not jax.scipy's: TPU-emulated f64 keeps float32 exponent RANGE, so the
+    squared residual norms of a nearly-converged solve flush to zero and
+    jax.scipy's unguarded gamma/denom becomes 0/0 = NaN.  Here every
+    division is guarded (a zero denominator terminates progress instead of
+    poisoning the iterate) and the system is solved for b/||b|| so the
+    monitored quantities stay O(1).  See ``_pcg_kernel`` for the
+    windowed floor exit.
+    """
+    norm_b = jnp.linalg.norm(b)
+    bsafe = jnp.where(norm_b == 0, 1.0, norm_b)
+    bn = b / bsafe
+    if M is None:
+        M = lambda v: v  # noqa: E731
+    x0n = jnp.zeros_like(b) if x0 is None else x0 / bsafe
+
+    target2 = jnp.maximum(tol, atol / bsafe) ** 2  # vs ||r||/||b||
+    body, cond = _pcg_kernel(matvec, M, target2, min(200, maxiter))
     out = jax.lax.while_loop(
-        cond, body,
-        (x0n, r0, z0, gamma0, 0, rs0, rs0, jnp.asarray(False)),
+        cond, body, _pcg_init(matvec, M, bn, x0n, maxiter)
     )
     return out[0] * bsafe
 
@@ -241,91 +254,10 @@ def _schur_solve_traced(form, tables, ess, state, r, tol: float,
     Jacobian — unconditionally convergent (MINRES minimizes the residual),
     with iteration counts set by the lumping quality rather than by alpha.
     """
-    intg = form.integrators[0]
-    off = form.offsets
-    lb = len(off) - 2
-    ub = lb - 1
-    n0, n1 = int(off[lb]), int(off[lb + 1] - off[lb])
-    Hq = state[0]
-    t = tables[0]
-    d_full = jnp.abs(form.grad_diag_raw(tables, ess, state))
-
-    if lumped:
-        # diagonal (lumped) latent block: valid for any latent space
-        dpsi = d_full[n0:]
-        dmax = jnp.max(dpsi)
-        dpsi = jnp.maximum(dpsi, jnp.maximum(reg * dmax, 1e-30))
-        inv_dpsi = 1.0 / dpsi
-
-        def Dinv(w):
-            return w * inv_dpsi
-
-    else:
-        De = -intg.element_matrices(Hq, lb, lb, tables=t)  # [ne, ndl, ndl]
-        ne, ndl, _ = De.shape
-        # E*'' underflows where the mirror map saturates (the active set),
-        # making D_e numerically singular; a relative shift keeps the
-        # condensed system solvable.  The shift size is load-bearing: near
-        # the Newton solution the TRUE step stays O(1e2) even at
-        # ||r|| ~ 1e-6 (the system is nearly singular), and a too-small
-        # shift amplifies solve noise by 1/(reg*dmax) into a divergent
-        # step.  Measured at the ex4/ref-2 failure state vs a dense solve:
-        # reg=1e-10 -> relative step error 1.1e+2 (Newton diverges),
-        # reg=1e-6 + 1 refinement pass -> 4e-5 (matches dense).  The
-        # additional absolute mass-scaled floor guards the fully-flushed
-        # case: TPU-emulated f64 keeps float32 exponent RANGE (~1e+-38),
-        # so entire blocks can flush to exactly zero there and dmax alone
-        # would be 0.
-        dmax = jnp.max(jnp.abs(De))
-        eye = jnp.eye(ndl, dtype=De.dtype)
-        Bl = t["B"][lb][..., 0]  # [1|ne, nq, ndl] latent VALUE shapes
-        Me = jnp.einsum("eqd,eqk,eq->edk", Bl, Bl, t["w"])
-        De_inv = _batched_inv_small(De + (reg * dmax) * eye + 1e-20 * Me)
-
-        def Dinv(w):  # L2 dofs are element-contiguous: pure reshape
-            we = w.reshape(ne, ndl)
-            ze = jnp.einsum("eij,ej->ei", De_inv, we)
-            return ze.reshape(-1)
-
-    def pad_u(v):
-        return jnp.concatenate([v, jnp.zeros(n1, v.dtype)])
-
-    def pad_p(w):
-        return jnp.concatenate([jnp.zeros(n0, w.dtype), w])
-
-    def mv(v):
-        return form.grad_mult_raw(tables, ess, state, v)
-
-    def S(v):
-        Jv = mv(pad_u(v))
-        Av, Ctv = Jv[:n0], Jv[n0:]
-        Cw = mv(pad_p(Dinv(Ctv)))[:n0]
-        return Av + Cw
-
-    M = None
-    if jacobi:
-        # diag(S) = diag(A) + diag(C D^{-1} C^T); the second term dominates
-        # as alpha grows (D ~ E*''/alpha -> 0 on the active set).
-        d = d_full[:n0]
-        Ce = intg.element_matrices(Hq, ub, lb, tables=t)  # [ne, nde_u, ndl]
-        ne_c = Ce.shape[0]
-        sp_u, sp_l = form.spaces[ub], form.spaces[lb]
-        if lumped:
-            ge = intg.gather(lb, inv_dpsi, t)  # [ne, ndl, vdim]
-            ge2 = ge.transpose(0, 2, 1).reshape(ne_c, -1)  # byNODES flat
-            dS = jnp.einsum("eij,ej->ei", Ce * Ce, ge2)
-        else:
-            dS = jnp.einsum("eij,ejk,eik->ei", Ce, De_inv, Ce)
-        # byNODES flat rows (v, d) = v*nd + d -> [ne, nd, vdim] for scatter
-        dS3 = dS.reshape(ne_c, sp_u.vdim, sp_u.nd).transpose(0, 2, 1)
-        d = d + intg.scatter(ub, dS3, t)
-        safe = jnp.where(d < 1e-30, 1.0, d)
-        if Mextra is None:
-            M = lambda v: v / safe  # noqa: E731
-        else:
-            # additive SPD combination: V-cycle (diffusion-dominated dofs)
-            # + reaction diagonal (alpha-amplified active set)
-            M = lambda v: v / safe + Mextra(v)  # noqa: E731
+    arrays = _schur_arrays(form, tables, ess, state, reg, jacobi, lumped)
+    S, M, Dinv, mv, pad_u, pad_p, n0, n1 = _schur_ops(
+        form, tables, ess, state, arrays, lumped, Mextra
+    )
 
     if lumped:
         # SPD block-diagonal preconditioner (lumped Schur + lumped D) for
@@ -350,6 +282,226 @@ def _schur_solve_traced(form, tables, ess, state, r, tol: float,
     dx = solve_reg(r)
     for _ in range(refine):
         dx = dx + solve_reg(r - mv(dx))
+    return dx
+
+
+def _schur_arrays(form, tables, ess, state, reg: float, jacobi: bool,
+                  lumped: bool):
+    """Traced: the array-valued pieces of the Schur reduction (latent-block
+    inverse factors + condensed Jacobi diagonal), as a dict that can cross
+    jit boundaries — the chunked driver computes them once per Newton
+    direction and threads them through every CG-chunk program."""
+    intg = form.integrators[0]
+    off = form.offsets
+    lb = len(off) - 2
+    ub = lb - 1
+    n0 = int(off[lb])
+    Hq = state[0]
+    t = tables[0]
+    d_full = jnp.abs(form.grad_diag_raw(tables, ess, state))
+    out = {}
+
+    if lumped:
+        # diagonal (lumped) latent block: valid for any latent space
+        dpsi = d_full[n0:]
+        dmax = jnp.max(dpsi)
+        dpsi = jnp.maximum(dpsi, jnp.maximum(reg * dmax, 1e-30))
+        inv_dpsi = out["inv_dpsi"] = 1.0 / dpsi
+        De_inv = None
+    else:
+        De = -intg.element_matrices(Hq, lb, lb, tables=t)  # [ne, ndl, ndl]
+        ne, ndl, _ = De.shape
+        # E*'' underflows where the mirror map saturates (the active set),
+        # making D_e numerically singular; a relative shift keeps the
+        # condensed system solvable.  The shift size is load-bearing: near
+        # the Newton solution the TRUE step stays O(1e2) even at
+        # ||r|| ~ 1e-6 (the system is nearly singular), and a too-small
+        # shift amplifies solve noise by 1/(reg*dmax) into a divergent
+        # step.  Measured at the ex4/ref-2 failure state vs a dense solve:
+        # reg=1e-10 -> relative step error 1.1e+2 (Newton diverges),
+        # reg=1e-6 + 1 refinement pass -> 4e-5 (matches dense).  The
+        # additional absolute mass-scaled floor guards the fully-flushed
+        # case: TPU-emulated f64 keeps float32 exponent RANGE (~1e+-38),
+        # so entire blocks can flush to exactly zero there and dmax alone
+        # would be 0.
+        dmax = jnp.max(jnp.abs(De))
+        eye = jnp.eye(ndl, dtype=De.dtype)
+        Bl = t["B"][lb][..., 0]  # [1|ne, nq, ndl] latent VALUE shapes
+        Me = jnp.einsum("eqd,eqk,eq->edk", Bl, Bl, t["w"])
+        De_inv = out["De_inv"] = _batched_inv_small(
+            De + (reg * dmax) * eye + 1e-20 * Me
+        )
+
+    if jacobi:
+        # diag(S) = diag(A) + diag(C D^{-1} C^T); the second term dominates
+        # as alpha grows (D ~ E*''/alpha -> 0 on the active set).
+        d = d_full[:n0]
+        Ce = intg.element_matrices(Hq, ub, lb, tables=t)  # [ne, nde_u, ndl]
+        ne_c = Ce.shape[0]
+        sp_u = form.spaces[ub]
+        if lumped:
+            ge = intg.gather(lb, inv_dpsi, t)  # [ne, ndl, vdim]
+            ge2 = ge.transpose(0, 2, 1).reshape(ne_c, -1)  # byNODES flat
+            dS = jnp.einsum("eij,ej->ei", Ce * Ce, ge2)
+        else:
+            dS = jnp.einsum("eij,ejk,eik->ei", Ce, De_inv, Ce)
+        # byNODES flat rows (v, d) = v*nd + d -> [ne, nd, vdim] for scatter
+        dS3 = dS.reshape(ne_c, sp_u.vdim, sp_u.nd).transpose(0, 2, 1)
+        d = d + intg.scatter(ub, dS3, t)
+        out["safe"] = jnp.where(d < 1e-30, 1.0, d)
+    return out
+
+
+def _schur_ops(form, tables, ess, state, arrays, lumped: bool, Mextra):
+    """Rebuild the Schur-reduction closures (condensed operator S, its
+    preconditioner M, the latent inverse Dinv, block pad/matvec helpers)
+    from the arrays of ``_schur_arrays`` — cheap, callable inside any
+    jitted program that receives (state, arrays) as arguments."""
+    off = form.offsets
+    lb = len(off) - 2
+    n0, n1 = int(off[lb]), int(off[lb + 1] - off[lb])
+
+    if lumped:
+        inv_dpsi = arrays["inv_dpsi"]
+
+        def Dinv(w):
+            return w * inv_dpsi
+
+    else:
+        De_inv = arrays["De_inv"]
+        ne, ndl = De_inv.shape[0], De_inv.shape[1]
+
+        def Dinv(w):  # L2 dofs are element-contiguous: pure reshape
+            we = w.reshape(ne, ndl)
+            ze = jnp.einsum("eij,ej->ei", De_inv, we)
+            return ze.reshape(-1)
+
+    def pad_u(v):
+        return jnp.concatenate([v, jnp.zeros(n1, v.dtype)])
+
+    def pad_p(w):
+        return jnp.concatenate([jnp.zeros(n0, w.dtype), w])
+
+    def mv(v):
+        return form.grad_mult_raw(tables, ess, state, v)
+
+    def S(v):
+        Jv = mv(pad_u(v))
+        Av, Ctv = Jv[:n0], Jv[n0:]
+        Cw = mv(pad_p(Dinv(Ctv)))[:n0]
+        return Av + Cw
+
+    M = None
+    if "safe" in arrays:
+        safe = arrays["safe"]
+        if Mextra is None:
+            M = lambda v: v / safe  # noqa: E731
+        else:
+            # additive SPD combination: V-cycle (diffusion-dominated dofs)
+            # + reaction diagonal (alpha-amplified active set)
+            M = lambda v: v / safe + Mextra(v)  # noqa: E731
+
+    return S, M, Dinv, mv, pad_u, pad_p, n0, n1
+
+
+def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
+                       reg: float = 1e-6, refine: int = 1):
+    """Host-driven Schur Newton direction split into watchdog-safe jitted
+    executions.
+
+    The tunneled TPU worker kills any single execution running longer
+    than ~60 s (measured: a controlled jitted spin survives 52 s and is
+    killed at 60 s), so the one-shot fused direction program — whose
+    condensed-system CG can run thousands of preconditioned iterations at
+    flagship sizes — dies exactly on the hard LVPP solves.  This driver
+    splits the direction at the CG boundary:
+
+        prep    residual + Jacobian state + elimination arrays (1 exec)
+        chunk   ``lin_chunk`` PCG iterations, carry in/out       (N exec)
+        finish  latent back-substitution dpsi = D^-1(C^T du - r) (1 exec)
+        defect  r - J dx for the iterative-refinement passes     (1 exec)
+
+    The PCG carry (iterate, residual, direction, scalars) stays on device
+    between executions; the host reads back a 3-scalar status per chunk
+    (~one tunnel RTT) to decide convergence/stall/budget exit.
+    """
+    K = int(opts.lin_chunk)
+    tables = form._tables()
+    ess = form.ess_mask
+    target2 = float(opts.lin_tol) ** 2  # vs ||r||/||b|| (normalized CG)
+
+    def mx_of(pdata):
+        if fp is not None and hasattr(fp, "apply_primal"):
+            return lambda v: fp.apply_primal(pdata, v)
+        return None
+
+    def prep_fn(tables, ess, x, b, fields):
+        r = form.mult_raw(tables, ess, x, fields) - b
+        r = jnp.where(ess, 0.0, r)
+        state = form.grad_state_raw(tables, x, fields)
+        arrays = _schur_arrays(form, tables, ess, state, reg, True, False)
+        return r, state, arrays
+
+    def init_fn(tables, ess, state, arrays, pdata, rr):
+        S, M, Dinv, mv, pad_u, pad_p, n0, _ = _schur_ops(
+            form, tables, ess, state, arrays, False, mx_of(pdata)
+        )
+        rhs = rr[:n0] + mv(pad_p(Dinv(rr[n0:])))[:n0]
+        norm_b = jnp.linalg.norm(rhs)
+        bsafe = jnp.where(norm_b == 0, 1.0, norm_b)
+        bn = rhs / bsafe
+        carry = _pcg_init(S, M if M is not None else (lambda v: v),
+                          bn, jnp.zeros_like(bn), opts.lin_maxiter)
+        return carry, bsafe
+
+    def chunk_fn(tables, ess, state, arrays, pdata, carry):
+        S, M, _, _, _, _, _, _ = _schur_ops(
+            form, tables, ess, state, arrays, False, mx_of(pdata)
+        )
+        body, cond = _pcg_kernel(S, M if M is not None else (lambda v: v),
+                                 target2, min(200, int(opts.lin_maxiter)))
+        kend = jnp.minimum(carry[4] + K, carry[8])
+        carry = carry[:8] + (kend,)
+        out = jax.lax.while_loop(cond, body, carry)
+        rs = jnp.vdot(out[1], out[1])
+        status = jnp.stack([out[4].astype(rs.dtype), rs,
+                            out[7].astype(rs.dtype)])
+        return out[:8] + (jnp.asarray(opts.lin_maxiter, jnp.int32),), status
+
+    def fin_fn(tables, ess, state, arrays, pdata, rr, carry, bsafe):
+        _, _, Dinv, mv, pad_u, _, n0, _ = _schur_ops(
+            form, tables, ess, state, arrays, False, mx_of(pdata)
+        )
+        du = carry[0] * bsafe
+        dp = Dinv(mv(pad_u(du))[n0:] - rr[n0:])
+        return jnp.concatenate([du, dp])
+
+    def defect_fn(tables, ess, state, r, dx):
+        return r - form.grad_mult_raw(tables, ess, state, dx)
+
+    fpid = id(fp) if fp is not None else None
+    kbase = ("schur_chunked", opts.lin_tol, opts.lin_maxiter, K, reg, fpid)
+    prep = form._jit(kbase + ("prep",), prep_fn)
+    init = form._jit(kbase + ("init",), init_fn)
+    chunk = form._jit(kbase + ("chunk",), chunk_fn)
+    fin = form._jit(kbase + ("fin",), fin_fn)
+    defect = form._jit(kbase + ("defect",), defect_fn)
+
+    r, state, arrays = prep(tables, ess, x, b, fields)
+    dx = None
+    for _ in range(1 + refine):
+        rr = r if dx is None else defect(tables, ess, state, r, dx)
+        carry, bsafe = init(tables, ess, state, arrays, pdata, rr)
+        prev_k = -1
+        while True:
+            carry, status = chunk(tables, ess, state, arrays, pdata, carry)
+            k, rs, stall = np.asarray(status)
+            if (rs <= target2 or stall or k >= opts.lin_maxiter
+                    or int(k) == prev_k):  # k frozen <=> gamma hit 0
+                break
+            prev_k = int(k)
+        d1 = fin(tables, ess, state, arrays, pdata, rr, carry, bsafe)
+        dx = d1 if dx is None else dx + d1
     return dx
 
 
@@ -413,6 +565,11 @@ class NewtonOptions:
     lin_solver: object = "cg"
     lin_tol: float = 1e-12
     lin_maxiter: int = 2000
+    # PCG iterations per jitted execution for the chunked schur path
+    # (None = one-shot fused program).  The tunneled TPU worker kills
+    # executions running >~60 s, so long condensed solves must cross
+    # jit boundaries; see _schur_dir_chunked.
+    lin_chunk: object = 64
     preconditioner: object = None  # None | "jacobi" | callable(form,state)->M
     verbose: bool = False
 
@@ -551,7 +708,12 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
                 "latent block"
             )
         fused = True
-    step = _fused_newton_step(form, opts) if fused else None
+    chunked = (
+        opts.lin_solver == "schur"
+        and opts.lin_chunk is not None
+        and form.spaces[-1].fe_type == "L2"
+    )
+    step = _fused_newton_step(form, opts) if fused and not chunked else None
     pdata = fp.fused_pdata() if fp is not None else ()
 
     hist = []
@@ -573,6 +735,10 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
             break
         if it == opts.max_iter:
             break
+        if chunked:
+            c = _schur_dir_chunked(form, opts, fp, x, b, fields, pdata)
+            x = _apply_step(form, x, c, b, fields, norm, opts)
+            continue
         if fused:
             c = step(form._tables(), form.ess_mask, x, b, fields, pdata)
             x = _apply_step(form, x, c, b, fields, norm, opts)
