@@ -125,33 +125,17 @@ def gmres(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000,
     return x
 
 
-def minres(matvec, b, x0=None, M=None, tol=1e-10, maxiter=1000):
-    """MINRES for symmetric (possibly indefinite) systems — the right Krylov
-    method for the LVPP (u, psi) saddle Jacobian (reference solves it with
-    MUMPS instead, tools.hpp:128-154).  Optional SPD preconditioner M.
-    """
-    if x0 is None:
-        x0 = jnp.zeros_like(b)
-    if M is None:
-        M = lambda x: x  # noqa: E731
-
-    dt = b.dtype
-    r1 = b - matvec(x0)
-    y = M(r1)
-    beta1 = jnp.sqrt(jnp.abs(jnp.vdot(r1, y)))
-    norm_b = jnp.linalg.norm(b)
-    z = jnp.zeros_like(b)
-
-    # Paige–Saunders MINRES with preconditioning.  Same windowed floor
-    # exit as cg(): emulated-f64 floors can sit just above a tight tol,
-    # and an unconditional spin to maxiter costs seconds per solve.
-    # phibar is monotone in MINRES, so "best" is just the current phibar;
-    # require >= 1% reduction per 200-iteration window.
-    window = min(200, maxiter)
+def _minres_kernel(matvec, M, target, window: int):
+    """Paige–Saunders preconditioned-MINRES loop body/cond shared by
+    ``minres`` and the chunked Schur driver.  Carry:
+    (x, r1, r2, y, oldb, beta, dbar, epsln, phibar, cs, sn, w, w2, it,
+    mark, stall, kend).  Same windowed floor exit as ``_pcg_kernel``
+    (phibar is monotone in MINRES, so "best" is just the current phibar;
+    require >= 1% reduction per window)."""
 
     def body(carry):
         (x, r1, r2, y, oldb, beta, dbar, epsln, phibar, cs, sn, w, w2, it,
-         mark, stall) = carry
+         mark, stall, kend) = carry
         bsafe = jnp.where(beta == 0, 1.0, beta)
         v = y / bsafe
         yv = matvec(v)
@@ -181,23 +165,47 @@ def minres(matvec, b, x0=None, M=None, tol=1e-10, maxiter=1000):
         mark_n = jnp.where(at_window, phibar_n, mark)
         return (
             xn, r1n, r2n, yn, oldb_n, beta_n, dbar_n, epsln_n, phibar_n,
-            cs_n, sn_n, wn, w2n, it + 1, mark_n, stall_n,
+            cs_n, sn_n, wn, w2n, it + 1, mark_n, stall_n, kend,
         )
 
     def cond(carry):
-        phibar, it, stall = carry[8], carry[13], carry[15]
-        ok = jnp.logical_and(
-            it < maxiter, phibar > tol * jnp.maximum(norm_b, 1e-30)
-        )
+        phibar, it, stall, kend = carry[8], carry[13], carry[15], carry[16]
+        ok = jnp.logical_and(it < kend, phibar > target)
         return jnp.logical_and(ok, jnp.logical_not(stall))
 
-    carry = (
+    return body, cond
+
+
+def _minres_init(matvec, M, b, x0, kend):
+    """Initial MINRES carry."""
+    dt = b.dtype
+    r1 = b - matvec(x0)
+    y = M(r1)
+    beta1 = jnp.sqrt(jnp.abs(jnp.vdot(r1, y)))
+    z = jnp.zeros_like(b)
+    return (
         x0, r1, r1, y, jnp.asarray(0.0, dt), beta1, jnp.asarray(0.0, dt),
         jnp.asarray(0.0, dt), beta1, jnp.asarray(-1.0, dt),
         jnp.asarray(0.0, dt), z, z, jnp.asarray(0, jnp.int32),
-        beta1, jnp.asarray(False),
+        beta1, jnp.asarray(False), jnp.asarray(kend, jnp.int32),
     )
-    out = jax.lax.while_loop(cond, body, carry)
+
+
+def minres(matvec, b, x0=None, M=None, tol=1e-10, maxiter=1000):
+    """MINRES for symmetric (possibly indefinite) systems — the right Krylov
+    method for the LVPP (u, psi) saddle Jacobian (reference solves it with
+    MUMPS instead, tools.hpp:128-154).  Optional SPD preconditioner M.
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if M is None:
+        M = lambda x: x  # noqa: E731
+
+    target = tol * jnp.maximum(jnp.linalg.norm(b), 1e-30)
+    body, cond = _minres_kernel(matvec, M, target, min(200, maxiter))
+    out = jax.lax.while_loop(
+        cond, body, _minres_init(matvec, M, b, x0, maxiter)
+    )
     return out[0]
 
 
@@ -424,8 +432,15 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
     The PCG carry (iterate, residual, direction, scalars) stays on device
     between executions; the host reads back a 3-scalar status per chunk
     (~one tunnel RTT) to decide convergence/stall/budget exit.
+
+    For non-L2 latents (``lumped``, the ex5 H1^dim case) the chunked
+    program is the outer MINRES on the true saddle Jacobian instead, a
+    few iterations per execution — each outer iteration applies the
+    block preconditioner whose S~-solve is itself a bounded 200-it CG,
+    so the per-execution budget is set by ``lin_chunk // 16`` outer its.
     """
     K = int(opts.lin_chunk)
+    lumped = form.spaces[-1].fe_type != "L2"
     tables = form._tables()
     ess = form.ess_mask
     target2 = float(opts.lin_tol) ** 2  # vs ||r||/||b|| (normalized CG)
@@ -439,8 +454,13 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
         r = form.mult_raw(tables, ess, x, fields) - b
         r = jnp.where(ess, 0.0, r)
         state = form.grad_state_raw(tables, x, fields)
-        arrays = _schur_arrays(form, tables, ess, state, reg, True, False)
+        arrays = _schur_arrays(form, tables, ess, state, reg, True, lumped)
         return r, state, arrays
+
+    if lumped:
+        return _schur_dir_chunked_lumped(
+            form, opts, fp, x, b, fields, pdata, prep_fn, mx_of, K
+        )
 
     def init_fn(tables, ess, state, arrays, pdata, rr):
         S, M, Dinv, mv, pad_u, pad_p, n0, _ = _schur_ops(
@@ -503,6 +523,68 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
         d1 = fin(tables, ess, state, arrays, pdata, rr, carry, bsafe)
         dx = d1 if dx is None else dx + d1
     return dx
+
+
+def _schur_dir_chunked_lumped(form, opts, fp, x, b, fields, pdata,
+                              prep_fn, mx_of, K: int,
+                              outer_maxiter: int = 200):
+    """Chunked outer-MINRES direction for non-L2 (lumped) latents: the
+    block-preconditioned MINRES on the true saddle Jacobian runs a few
+    outer iterations per jitted execution (each applies a bounded inner
+    CG), with the MINRES carry held on device between executions."""
+    Kout = max(1, K // 16)
+    tables = form._tables()
+    ess = form.ess_mask
+    tol = float(opts.lin_tol)
+
+    def ops_of(tables, ess, state, arrays, pdata):
+        S, M, Dinv, mv, pad_u, pad_p, n0, _ = _schur_ops(
+            form, tables, ess, state, arrays, True, mx_of(pdata)
+        )
+
+        def Mblock(rr):
+            zu = cg(S, rr[:n0], M=M, tol=1e-8, maxiter=200)
+            return jnp.concatenate([zu, Dinv(rr[n0:])])
+
+        return mv, Mblock
+
+    def init_fn(tables, ess, state, arrays, pdata, rr):
+        mv, Mblock = ops_of(tables, ess, state, arrays, pdata)
+        return _minres_init(mv, Mblock, rr, jnp.zeros_like(rr),
+                            outer_maxiter)
+
+    def chunk_fn(tables, ess, state, arrays, pdata, rr, carry):
+        mv, Mblock = ops_of(tables, ess, state, arrays, pdata)
+        target = tol * jnp.maximum(jnp.linalg.norm(rr), 1e-30)
+        body, cond = _minres_kernel(mv, Mblock, target,
+                                    min(200, outer_maxiter))
+        kend = jnp.minimum(carry[13] + Kout, carry[16])
+        carry = carry[:16] + (kend,)
+        out = jax.lax.while_loop(cond, body, carry)
+        phibar = out[8]
+        status = jnp.stack([
+            out[13].astype(phibar.dtype), phibar / target,
+            out[15].astype(phibar.dtype),
+        ])
+        return out[:16] + (jnp.asarray(outer_maxiter, jnp.int32),), status
+
+    kbase = ("schur_chunked_lumped", opts.lin_tol, outer_maxiter, Kout,
+             id(fp) if fp is not None else None)
+    prep = form._jit(kbase + ("prep",), prep_fn)
+    init = form._jit(kbase + ("init",), init_fn)
+    chunk = form._jit(kbase + ("chunk",), chunk_fn)
+
+    r, state, arrays = prep(tables, ess, x, b, fields)
+    carry = init(tables, ess, state, arrays, pdata, r)
+    prev_k = -1
+    while True:
+        carry, status = chunk(tables, ess, state, arrays, pdata, r, carry)
+        k, rel, stall = np.asarray(status)
+        if (rel <= 1.0 or stall or k >= outer_maxiter
+                or int(k) == prev_k):
+            break
+        prev_k = int(k)
+    return carry[0]
 
 
 def make_pg_schur_solver(latent_block: int = 1, tol: float = 1e-12,
@@ -708,11 +790,7 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
                 "latent block"
             )
         fused = True
-    chunked = (
-        opts.lin_solver == "schur"
-        and opts.lin_chunk is not None
-        and form.spaces[-1].fe_type == "L2"
-    )
+    chunked = opts.lin_solver == "schur" and opts.lin_chunk is not None
     step = _fused_newton_step(form, opts) if fused and not chunked else None
     pdata = fp.fused_pdata() if fp is not None else ()
 
