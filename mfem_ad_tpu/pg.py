@@ -344,9 +344,11 @@ class PGSolver:
                     l1_norm(self.latent_space, np.asarray(lam - lam_prev))
                 )
             if self.verbose:
+                lin = (f" lin={sum(res.lin_iters)}"
+                       if getattr(res, "lin_iters", None) else "")
                 print(
-                    f"PG it {it+1}: alpha={alpha:.4g} newton={res.iterations} "
-                    f"|lam diff|_L1={lam_diff:.3e}"
+                    f"PG it {it+1}: alpha={alpha:.4g} newton={res.iterations}"
+                    f"{lin} |lam diff|_L1={lam_diff:.3e}"
                 )
             if callback is not None:
                 callback(it, x, lam)

@@ -509,6 +509,7 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
 
     r, state, arrays = prep(tables, ess, x, b, fields)
     dx = None
+    lin_its = 0
     for _ in range(1 + refine):
         rr = r if dx is None else defect(tables, ess, state, r, dx)
         carry, bsafe = init(tables, ess, state, arrays, pdata, rr)
@@ -520,9 +521,10 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
                     or int(k) == prev_k):  # k frozen <=> gamma hit 0
                 break
             prev_k = int(k)
+        lin_its += int(k)
         d1 = fin(tables, ess, state, arrays, pdata, rr, carry, bsafe)
         dx = d1 if dx is None else dx + d1
-    return dx
+    return dx, lin_its
 
 
 def _schur_dir_chunked_lumped(form, opts, fp, x, b, fields, pdata,
@@ -584,7 +586,7 @@ def _schur_dir_chunked_lumped(form, opts, fp, x, b, fields, pdata,
                 or int(k) == prev_k):
             break
         prev_k = int(k)
-    return carry[0]
+    return carry[0], int(k)
 
 
 def make_pg_schur_solver(latent_block: int = 1, tol: float = 1e-12,
@@ -663,6 +665,9 @@ class NewtonResult:
     iterations: int
     final_norm: float
     history: list = field(default_factory=list)
+    # total Krylov iterations per Newton iteration (chunked schur path
+    # only — the one-shot fused programs don't report counts)
+    lin_iters: list = field(default_factory=list)
 
 
 def _make_precond(form, state, spec):
@@ -795,6 +800,7 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
     pdata = fp.fused_pdata() if fp is not None else ()
 
     hist = []
+    lin_iters = []
     norm0 = None
     it = 0
     converged = False
@@ -814,7 +820,8 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
         if it == opts.max_iter:
             break
         if chunked:
-            c = _schur_dir_chunked(form, opts, fp, x, b, fields, pdata)
+            c, li = _schur_dir_chunked(form, opts, fp, x, b, fields, pdata)
+            lin_iters.append(li)
             x = _apply_step(form, x, c, b, fields, norm, opts)
             continue
         if fused:
@@ -842,4 +849,5 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
         iterations=it,
         final_norm=norm,
         history=hist,
+        lin_iters=lin_iters,
     )
