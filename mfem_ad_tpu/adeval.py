@@ -88,7 +88,7 @@ def build_B(
     # uniform Cartesian meshes have element-invariant physical shapes:
     # build B once ([1, nq, nd, sd]); integrator._dedup_elements keeps it
     # shared and the contractions use the B[0] fast forms
-    if mesh.structured is not None:
+    if mesh.uniform_jacobian:
         ne = 1
     nq = ir.npoints
     nd = space.nd

@@ -321,10 +321,18 @@ class FESpace:
         # scalar gathers are ~100x slower than slices on TPU) — see
         # integrator.py.  The id order matches the Cartesian element order
         # (2D: e = j*nx + i; 3D: e = i*ny*nz + j*nz + k).
+        # Structured TRIANGLE meshes (each Cartesian cell split along the
+        # SW-NE diagonal) relabel too: the union of P_p Lagrange nodes over
+        # the triangulation fills the p-refined tensor grid EXACTLY
+        # (vertices + edge nodes + interior nodes = (p*nx+1)(p*ny+1) points
+        # — the diagonal-edge and interior nodes land on the grid), so the
+        # same coordinate->grid-index map applies; the uniqueness check
+        # below proves it per space.  Grid kind "h1t" tells the integrator
+        # to use the 2-orientation grouped slice gather.
         self._relabel = None
         self.grid = None
         st = mesh.structured
-        if st is not None and geom in (SQUARE, CUBE):
+        if st is not None and geom in (SQUARE, CUBE, TRIANGLE):
             c = self.node_coords
             if st[0] == "cart2d":
                 _, nx, ny, sx, sy = st
@@ -347,7 +355,9 @@ class FESpace:
                 nc[new] = self.node_coords
                 self.node_coords = nc
                 self._relabel = new
-                self.grid = ("h1", dims, ndims)
+                self.grid = (
+                    "h1t" if geom == TRIANGLE else "h1", dims, ndims
+                )
 
     # ------------------------------------------------------------------
     def boundary_dofs(self, attr_mask=None) -> np.ndarray:

@@ -78,7 +78,7 @@ def geom_factors(mesh: Mesh, ir: IntegrationRule) -> GeomFactors:
     corners = mesh.corner_coords()  # [ne, nc, dim]
     xq = np.einsum("qc,eck->eqk", N, corners)
     ne = corners.shape[0]
-    if mesh.structured is not None and ne > 1:
+    if mesh.uniform_jacobian and ne > 1:
         # uniform Cartesian: every element has the same (affine) Jacobian —
         # compute it once and expose read-only broadcast views
         jac1 = np.einsum("qcm,eck->eqkm", dN, corners[:1])
@@ -111,7 +111,7 @@ def phys_dshape(
     fe = ref_element(mesh.geom, order)
     dphi = fe.grad(ir.points)  # [nq, nd, m] reference gradients
     ne = gf.invj.shape[0]
-    if mesh.structured is not None and ne > 1:
+    if mesh.uniform_jacobian and ne > 1:
         G1 = np.einsum("qdm,eqmk->eqdk", dphi, gf.invj[:1])
         return np.broadcast_to(G1, (ne,) + G1.shape[1:])
     return np.einsum("qdm,eqmk->eqdk", dphi, gf.invj)

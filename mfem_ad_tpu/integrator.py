@@ -80,16 +80,30 @@ def _space_gridmeta(space):
 
     Returns ("l2",) for element-contiguous L2 dofs (reshape),
     ("h1", dims, ndims, node_offsets, p) for lexicographically-numbered
-    structured H1 dofs (strided slices / dilated pads), or None (generic
-    edof gather/scatter).
+    structured H1 dofs (strided slices / dilated pads),
+    ("h1t", dims, ndims, offsets[2, nd, 2], p) for structured TRIANGLE
+    meshes (two slice groups, one per orientation, interleaved into the
+    e = 2*cell + t element order), or None (generic edof gather/scatter).
     """
     g = getattr(space, "grid", None)
     if g is None:
         return None
     if g[0] == "l2":
         return ("l2",)
-    offs = np.rint(np.asarray(space.elem.nodes) * space.order).astype(np.int64)
-    return ("h1", g[1], g[2], offs, space.order)
+    p = space.order
+    if g[0] == "h1t":
+        rs = np.asarray(space.elem.nodes)  # [nd, 2] reference (r, s)
+        r, s = rs[:, 0], rs[:, 1]
+        # cell split along the SW-NE diagonal (mesh.make_cartesian_2d):
+        #   t=0 (v00, v10, v11): X = (r + s, s) in cell units
+        #   t=1 (v00, v11, v01): X = (r, r + s)
+        offs = np.stack([
+            np.stack([np.rint(p * (r + s)), np.rint(p * s)], axis=1),
+            np.stack([np.rint(p * r), np.rint(p * (r + s))], axis=1),
+        ]).astype(np.int64)  # [2, nd, (ai, aj)]
+        return ("h1t", g[1], g[2], offs, p)
+    offs = np.rint(np.asarray(space.elem.nodes) * p).astype(np.int64)
+    return ("h1", g[1], g[2], offs, p)
 
 
 def _fast_gather(u, meta, vdim: int, nd: int):
@@ -106,6 +120,25 @@ def _fast_gather(u, meta, vdim: int, nd: int):
     ne = int(np.prod(dims))
     U = u.reshape((vdim,) + tuple(ndims))
     cols = []
+    if meta[0] == "h1t":
+        # structured triangles: one slice set per orientation, interleaved
+        # back into the mesh's e = 2*cell + t element order
+        nx, ny = dims
+        per_t = []
+        for t in range(2):
+            tcols = []
+            for d in range(nd):
+                ai, aj = int(offs[t, d, 0]), int(offs[t, d, 1])
+                sl = jax.lax.slice(
+                    U,
+                    (0, aj, ai),
+                    (vdim, aj + (ny - 1) * p + 1, ai + (nx - 1) * p + 1),
+                    (1, p, p),
+                )
+                tcols.append(sl.reshape(vdim, ne))
+            per_t.append(jnp.stack(tcols, axis=0))  # [nd, vdim, ne_cell]
+        both = jnp.stack(per_t, axis=0)  # [t, nd, vdim, cell]
+        return both.transpose(3, 0, 1, 2).reshape(2 * ne, nd, vdim)
     if len(dims) == 2:
         nx, ny = dims
         for d in range(nd):
@@ -149,6 +182,24 @@ def _fast_scatter(re, meta, vdim: int, nd: int):
     _, dims, ndims, offs, p = meta
     zero = jnp.zeros((), dtype=re.dtype)
     out = jnp.zeros((vdim,) + tuple(ndims), dtype=re.dtype)
+    if meta[0] == "h1t":
+        nx, ny = dims
+        ne = nx * ny
+        re4 = re.reshape(ne, 2, nd, vdim)  # e = 2*cell + t
+        for t in range(2):
+            for d in range(nd):
+                ai, aj = int(offs[t, d, 0]), int(offs[t, d, 1])
+                v2 = re4[:, t, d, :].T.reshape(vdim, ny, nx)
+                out = out + jax.lax.pad(
+                    v2,
+                    zero,
+                    (
+                        (0, 0, 0),
+                        (aj, ndims[0] - 1 - (aj + (ny - 1) * p), p - 1),
+                        (ai, ndims[1] - 1 - (ai + (nx - 1) * p), p - 1),
+                    ),
+                )
+        return out.reshape(-1)
     if len(dims) == 2:
         nx, ny = dims
         for d in range(nd):

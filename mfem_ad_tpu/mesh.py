@@ -47,6 +47,15 @@ class Mesh:
         return GEOM_DIM[self.geom]
 
     @property
+    def uniform_jacobian(self) -> bool:
+        """True when every element shares one affine Jacobian (structured
+        quad/hex).  Structured TRIANGLE meshes are lexicographic too (the
+        fast dof exchange applies) but alternate between two orientations
+        with different Jacobians, so element-invariant geometry shortcuts
+        must not fire for them."""
+        return self.structured is not None and self.geom in (SQUARE, CUBE)
+
+    @property
     def num_elements(self) -> int:
         return self.elements.shape[0]
 
@@ -134,7 +143,7 @@ def make_cartesian_2d(
         attributes=np.ones(elements.shape[0], dtype=np.int32),
         bdr_elements=np.concatenate(bdr).astype(np.int32),
         bdr_attributes=np.concatenate(battr).astype(np.int32),
-        structured=("cart2d", nx, ny, sx, sy) if geom == SQUARE else None,
+        structured=("cart2d", nx, ny, sx, sy),
     )
 
 

@@ -97,7 +97,7 @@ def _down1d(r, axis: int, p: int = 2):
 
 def _grid_shape(space):
     g = getattr(space, "grid", None)
-    if g is None or g[0] != "h1":
+    if g is None or g[0] not in ("h1", "h1t"):
         raise ValueError(
             "GMG requires structured H1 spaces (lexicographic dof grids)"
         )

@@ -27,11 +27,20 @@ from mfem_ad_tpu.integrator import ADBlockIntegrator
         (0, "l2", 1, 2),
         (1, "l2", 2, 2),
         (1, "l2", 3, 3),
+        # structured TRIANGLE meshes: grouped 2-orientation slice paths
+        (1, "h1", 1, "tri"),
+        (2, "h1", 1, "tri"),
+        (2, "h1", 2, "tri"),
+        (3, "h1", 1, "tri"),
     ],
 )
 def test_fast_gather_scatter_matches_generic(order, fe_type, vdim, dim):
+    from mfem_ad_tpu.quadrature import TRIANGLE
+
     m = (
-        M.make_cartesian_2d(3, 2)
+        M.make_cartesian_2d(3, 2, TRIANGLE)
+        if dim == "tri"
+        else M.make_cartesian_2d(3, 2)
         if dim == 2
         else M.make_cartesian_3d(2, 3, 2)
     )
