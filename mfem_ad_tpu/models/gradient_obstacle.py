@@ -50,6 +50,29 @@ class Problem:
     pg: ADPGFunctional
 
 
+def _primal_gmg(order: int, ref_levels: int, n0: int):
+    """hp-GMG on the primal diffusion block of ex5: order-p fine space on
+    the structured triangle mesh p-coarsens to P1 on the same mesh, then
+    geometric coarsening to the n0 mesh (triangle dof grids are
+    lexicographic, see fespace 'h1t').  Used as the S~-approximation
+    inside the lumped-Schur block preconditioner — the role BoomerAMG
+    plays in the reference's PGPreconditioner (pg.hpp:388-400)."""
+    from ..ad import DiffusionEnergy
+    from ..forms import NonlinearForm
+    from ..multigrid import GMG, PGSchurGMG, build_hp_hierarchy
+
+    def build_fn(n, p):
+        m = M.make_cartesian_2d(n, n, TRIANGLE)
+        fes = FESpace(m, p)
+        f = NonlinearForm(fes)
+        f.add_ad_integrator(DiffusionEnergy(m.dim), ADEval.GRAD)
+        f.set_essential_bc([np.ones(m.max_bdr_attribute())])
+        return f
+
+    forms = build_hp_hierarchy(build_fn, n0, ref_levels + 1, order)
+    return PGSchurGMG(GMG(forms))
+
+
 def build(order: int = 2, ref_levels: int = 3, n0: int = 10) -> Problem:
     if order < 2:
         raise ValueError("ex5 requires order >= 2 (latent H1 space order-1)")
@@ -95,15 +118,21 @@ def solve(
     verbose: bool = False,
     n0: int = 10,
     lin_maxiter: int = 2000,
+    gmg: bool = True,
 ):
     pb = build(order, ref_levels, n0=n0)
     rule = PGStepSizeRule(rule_type, alpha0, max_alpha, ratio, ratio2)
+    precond = None
+    if lin_solver == "schur" and gmg:
+        precond = _primal_gmg(order, ref_levels, n0).as_preconditioner()
+    elif lin_solver not in ("dense", "schur"):
+        precond = "jacobi"
     nopts = NewtonOptions(
         abs_tol=1e-9, rel_tol=0.0, max_iter=20, lin_solver=lin_solver,
         # bounded like obstacle.solve: one jitted execution must stay in
         # the seconds range on the tunneled TPU worker
         lin_tol=1e-13, lin_maxiter=lin_maxiter,
-        preconditioner=None if lin_solver in ("dense", "schur") else "jacobi",
+        preconditioner=precond,
     )
     solver = PGSolver(
         pb.form, rule, latent_block=1, latent_space=pb.latent_space,
