@@ -149,3 +149,39 @@ def test_sharded_fast_path_matches_serial(eight_devices):
         float(pb.form.energy(u, fields)), float(sf.energy(u, fields)),
         atol=1e-12,
     )
+
+
+def test_sharded_triangle_fast_path_matches_serial(eight_devices):
+    """Structured-TRIANGLE ('h1t') grids compose with the shard mode the
+    same way: the full grouped slice gather runs per shard and each shard
+    dynamic-slices its contiguous element chunk (e = 2*cell + t order)."""
+    from mfem_ad_tpu.models import gradient_obstacle
+
+    pb = gradient_obstacle.build(order=2, ref_levels=0, n0=4)  # 32 elems
+    sf = ShardedForm(pb.form)
+    assert sf.fast == [("shard", "elems", 8)]
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(0.1 * rng.standard_normal(pb.form.ndof))
+    fields = {
+        "alpha": jnp.asarray(1.0),
+        "latent_k0": jnp.asarray(
+            0.1 * rng.standard_normal(pb.latent_space.ndof)
+        ),
+    }
+    assert np.allclose(
+        np.asarray(pb.form.mult(u, fields)),
+        np.asarray(sf.mult(u, fields)),
+        atol=1e-13,
+    )
+    st_s = pb.form.grad_state(u, fields)
+    st_p = sf.grad_state(u, fields)
+    v = jnp.asarray(rng.standard_normal(pb.form.ndof))
+    assert np.allclose(
+        np.asarray(pb.form.grad_mult(st_s, v)),
+        np.asarray(sf.grad_mult(st_p, v)),
+        atol=1e-12,
+    )
+    assert np.isclose(
+        float(pb.form.energy(u, fields)), float(sf.energy(u, fields)),
+        atol=1e-12,
+    )
