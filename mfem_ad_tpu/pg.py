@@ -20,6 +20,7 @@ TPU-native redesign of /root/reference/src/pg.{hpp,cpp}:
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -323,6 +324,7 @@ class PGSolver:
                 if self.verbose:
                     print(f"PG resume from iteration {start_it}")
         for it in range(start_it, self.max_iter):
+            t_it = time.perf_counter()
             alpha = self.rule.get(it)
             psik = x[off[s] : off[s + 1]]
             fields["alpha"] = jnp.asarray(alpha)
@@ -348,7 +350,8 @@ class PGSolver:
                        if getattr(res, "lin_iters", None) else "")
                 print(
                     f"PG it {it+1}: alpha={alpha:.4g} newton={res.iterations}"
-                    f"{lin} |lam diff|_L1={lam_diff:.3e}"
+                    f"{lin} |lam diff|_L1={lam_diff:.3e} "
+                    f"[{time.perf_counter() - t_it:.1f}s]"
                 )
             if callback is not None:
                 callback(it, x, lam)
