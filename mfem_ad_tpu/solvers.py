@@ -318,12 +318,28 @@ def _schur_arrays(form, tables, ess, state, reg: float, jacobi: bool,
     out = {}
 
     if lumped:
-        # diagonal (lumped) latent block: valid for any latent space
-        dpsi = d_full[n0:]
-        dmax = jnp.max(dpsi)
-        dpsi = jnp.maximum(dpsi, jnp.maximum(reg * dmax, 1e-30))
-        inv_dpsi = out["inv_dpsi"] = 1.0 / dpsi
-        De_inv = None
+        # NODE-BLOCK lumped latent: assemble the per-node vdim x vdim
+        # diagonal blocks of D (valid for any latent space).  Scalar
+        # (diagonal) lumping is badly wrong for anisotropic entropies —
+        # Hellinger's E*'' = s^2/sqrt(..) (I - s^2 psi psi^T / (1+s^2|psi|^2))
+        # goes rank-deficient ALONG psi near saturation, so the node
+        # block's eigenvalues differ by the saturation factor; keeping the
+        # vdim x vdim coupling captures exactly that anisotropy.
+        sp_l = form.spaces[lb]
+        vl, ndl = sp_l.vdim, sp_l.nd
+        De = -intg.element_matrices(Hq, lb, lb, tables=t)
+        ne_l = De.shape[0]
+        De4 = De.reshape(ne_l, vl, ndl, vl, ndl)
+        node_blocks = jnp.einsum("evdwd->edvw", De4)
+        edof_l = t["edof"][lb]  # [ne, ndl] scalar dof ids
+        nds_l = sp_l.ndof_scalar
+        Dblk = jnp.zeros((nds_l, vl, vl), De.dtype).at[edof_l].add(
+            node_blocks
+        )
+        tr = jnp.trace(Dblk, axis1=1, axis2=2) / vl
+        shift = jnp.maximum(reg * jnp.max(jnp.abs(tr)), 1e-30)
+        eye = jnp.eye(vl, dtype=De.dtype)
+        Dblk_inv = out["Dblk_inv"] = _batched_inv_small(Dblk + shift * eye)
     else:
         De = -intg.element_matrices(Hq, lb, lb, tables=t)  # [ne, ndl, ndl]
         ne, ndl, _ = De.shape
@@ -356,9 +372,13 @@ def _schur_arrays(form, tables, ess, state, reg: float, jacobi: bool,
         ne_c = Ce.shape[0]
         sp_u = form.spaces[ub]
         if lumped:
-            ge = intg.gather(lb, inv_dpsi, t)  # [ne, ndl, vdim]
-            ge2 = ge.transpose(0, 2, 1).reshape(ne_c, -1)  # byNODES flat
-            dS = jnp.einsum("eij,ej->ei", Ce * Ce, ge2)
+            # diag(C Dblk^-1 C^T) with the node-block inverse: columns of
+            # Ce are (w, d) = w*ndl + d byNODES-flat
+            sp_l = form.spaces[lb]
+            vl, ndl = sp_l.vdim, sp_l.nd
+            Ce4 = Ce.reshape(ne_c, Ce.shape[1], vl, ndl)
+            be = Dblk_inv[t["edof"][lb]]  # [ne, ndl, vl, vl]
+            dS = jnp.einsum("eivd,edvw,eiwd->ei", Ce4, be, Ce4)
         else:
             dS = jnp.einsum("eij,ejk,eik->ei", Ce, De_inv, Ce)
         # byNODES flat rows (v, d) = v*nd + d -> [ne, nd, vdim] for scatter
@@ -378,10 +398,14 @@ def _schur_ops(form, tables, ess, state, arrays, lumped: bool, Mextra):
     n0, n1 = int(off[lb]), int(off[lb + 1] - off[lb])
 
     if lumped:
-        inv_dpsi = arrays["inv_dpsi"]
+        Dblk_inv = arrays["Dblk_inv"]
+        sp_l = form.spaces[lb]
+        vl, nds_l = sp_l.vdim, sp_l.ndof_scalar
 
-        def Dinv(w):
-            return w * inv_dpsi
+        def Dinv(w):  # byNODES layout: dof = v*nds + node
+            w2 = w.reshape(vl, nds_l)
+            z = jnp.einsum("nvw,wn->vn", Dblk_inv, w2)
+            return z.reshape(-1)
 
     else:
         De_inv = arrays["De_inv"]
