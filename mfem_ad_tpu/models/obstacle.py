@@ -134,6 +134,9 @@ def solve(
     solver = PGSolver(
         pb.form, rule, latent_block=1, latent_space=pb.latent_space,
         newton_opts=nopts, max_iter=max_pg_iter, tol=tol, verbose=verbose,
+        # bounded-budget Krylov directions can stagnate Newton just
+        # above abs_tol (1e-9); accept and let the PG loop correct
+        newton_accept=1e-5,
     )
     x0 = jnp.zeros(pb.form.ndof)
     res = solver.solve(x0, pb.rhs)

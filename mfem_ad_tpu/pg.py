@@ -273,6 +273,7 @@ class PGSolver:
         verbose: bool = False,
         checkpoint_path: str | None = None,
         checkpoint_every: int = 1,
+        newton_accept: float = 0.0,
     ):
         self.form = form
         self.rule = rule
@@ -286,6 +287,15 @@ class PGSolver:
         self.verbose = verbose
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
+        # Inexact proximal point: when the inner Newton stagnates ABOVE
+        # its tolerance but below ``newton_accept`` (absolute residual
+        # norm), continue the outer loop instead of aborting.  The PG
+        # iteration is self-correcting (each step re-solves against the
+        # new psi_k, so bounded inner errors perturb, not poison, the
+        # fixed point); the reference aborts instead (ex4.cpp:191-195)
+        # because MUMPS never leaves it with a stagnated inner solve,
+        # while bounded-budget Krylov directions can stall at ~1e-6.
+        self.newton_accept = newton_accept
 
     def solve(self, x0, rhs, fields=None, callback=None,
               resume: bool = False) -> PGResult:
@@ -332,12 +342,21 @@ class PGSolver:
             res = newton(self.form, x, rhs, fields, self.newton_opts)
             newton_iters.append(res.iterations)
             if not res.converged:
-                if self.verbose:
-                    print(
-                        f"PG it {it+1}: Newton FAILED after "
-                        f"{res.iterations} its (||r||={res.final_norm:.3e})"
-                    )
-                break
+                if res.final_norm <= self.newton_accept:
+                    if self.verbose:
+                        print(
+                            f"PG it {it+1}: Newton stagnated at "
+                            f"||r||={res.final_norm:.3e} <= accept "
+                            f"{self.newton_accept:g}; continuing"
+                        )
+                else:
+                    if self.verbose:
+                        print(
+                            f"PG it {it+1}: Newton FAILED after "
+                            f"{res.iterations} its "
+                            f"(||r||={res.final_norm:.3e})"
+                        )
+                    break
             x = res.x
             psi = x[off[s] : off[s + 1]]
             lam = (psi - psik) / alpha
