@@ -168,6 +168,8 @@ def sweep():
     rows = []
     for dim, n in ((2, 512), (3, 48)):
         for order in (1, 2, 3):
+            if dim == 2 and order == 3:
+                n = 256  # p3/2D at 512^2 elems needs a ~24 GB fusion buffer
             if dim == 3 and order == 3:
                 n = 32  # keep the p3 3D dof tensor within HBM
             m, fes, intg, u = _build(order, dim, n)
