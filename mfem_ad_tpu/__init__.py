@@ -48,6 +48,23 @@ if _prec != "default":
 
     jax.config.update("jax_default_matmul_precision", _prec)
 
+# Persistent compilation cache: the LVPP drivers compile dozens of chunk
+# programs (cold ex4 spends most of its wall in XLA), and every program
+# is re-usable across runs.  On by default everywhere (it was test-only
+# in round 2); opt out with MFEM_AD_TPU_NO_COMPILE_CACHE=1 or override
+# the directory with MFEM_AD_TPU_COMPILE_CACHE=<dir>.
+if not os.environ.get("MFEM_AD_TPU_NO_COMPILE_CACHE"):
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "MFEM_AD_TPU_COMPILE_CACHE", "/tmp/mfem_ad_tpu_jax_cache"
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from . import quadrature, basis, mesh, geometry, fespace  # noqa: E402
 from .ad import (  # noqa: E402
     ADFunction,

@@ -466,6 +466,12 @@ class FESpace:
         xs = self.node_coords[ids]  # [nb, sdim]
         vals = None
         try:  # vectorized evaluation (same contract as project())
+            # When vdim > 1 and len(ids) == vdim the shapes (vdim, nb) and
+            # (nb, vdim) coincide, so orientation sniffing is ambiguous and
+            # the single-point cross-check can pass coincidentally — use
+            # the per-point fallback there.
+            if self.vdim > 1 and len(ids) == self.vdim:
+                raise ValueError("ambiguous orientation")
             v = np.asarray(fn(xs), dtype=np.float64)
             if self.vdim == 1 and v.shape == (len(ids),):
                 vals = v[None, :]

@@ -95,7 +95,60 @@ def _down1d(r, axis: int, p: int = 2):
     return out
 
 
+def _down1d_sq(r, axis: int, p: int = 2):
+    """Squared-weight variant of ``_down1d``: restricts a DIAGONAL field,
+    d_c[c] = sum_f P[f,c]^2 d_f[f] = diag(P^T diag(d_f) P)[c] — the exact
+    Galerkin coarse diagonal of a diagonal fine operator under the
+    separable linear transfer."""
+    nd = r.ndim
+    sl = [slice(None)] * nd
+    sl[axis] = slice(0, None, p)
+    out = r[tuple(sl)]
+    for j in range(1, p):
+        sl_j = [slice(None)] * nd
+        sl_j[axis] = slice(j, None, p)
+        s = r[tuple(sl_j)]
+        pad_l = [(0, 0)] * nd
+        pad_l[axis] = (1, 0)
+        pad_r = [(0, 0)] * nd
+        pad_r[axis] = (0, 1)
+        out = (
+            out
+            + ((p - j) / p) ** 2 * jnp.pad(s, pad_r)
+            + (j / p) ** 2 * jnp.pad(s, pad_l)
+        )
+    return out
+
+
+def _gj_inv(A):
+    """Dense inverse via Gauss-Jordan under ``lax.fori_loop`` — jittable in
+    TPU-emulated f64 (the compiler's LuDecomposition expansion behind
+    jnp.linalg.inv/solve is F32-only).  No pivoting: callers pass SPD
+    matrices (shifted coarse operators).  O(n^3) with n = coarsest-level
+    dofs (a few hundred), run once per shifted-V-cycle data rebuild."""
+    n = A.shape[0]
+    M = jnp.concatenate([A, jnp.eye(n, dtype=A.dtype)], axis=1)
+
+    def body(k, M):
+        row = jax.lax.dynamic_slice_in_dim(M, k, 1, axis=0)  # [1, 2n]
+        piv = jax.lax.dynamic_slice(row, (0, k), (1, 1))[0, 0]
+        row = row / piv
+        col = jax.lax.dynamic_slice_in_dim(M, k, 1, axis=1)  # [n, 1]
+        M = M - col * row
+        return jax.lax.dynamic_update_slice_in_dim(M, row, k, axis=0)
+
+    return jax.lax.fori_loop(0, n, body, M)[:, n:]
+
+
 def _grid_shape(space):
+    # 'h1t' (triangle meshes cut from a structured quad grid) is accepted
+    # with a caveat: the tensor-grid bilinear transfer is NOT the exact
+    # coarse-to-fine embedding for P1 triangle spaces — a fine node on a
+    # coarse diagonal edge should average the 2 diagonal endpoints, not 4
+    # corners.  The resulting V-cycle is still SPD and convergent as a CG/
+    # MINRES preconditioner (ex5 measurements confirm), just weaker than a
+    # Galerkin-consistent transfer; revisit with a diagonal-aware stencil
+    # if triangle-GMG iteration counts ever become the bottleneck.
     g = getattr(space, "grid", None)
     if g is None or g[0] not in ("h1", "h1t"):
         raise ValueError(
@@ -145,8 +198,10 @@ class GMG:
         self.diags = [
             f.grad_diag(s) for f, s in zip(self.forms, self.states)
         ]
-        # dense inverse on the coarsest level (BC rows are identity there)
+        # dense inverse on the coarsest level (BC rows are identity there);
+        # the matrix itself is kept for the shifted path (shift_data)
         Ac = self.forms[-1].assemble_dense(self.states[-1])
+        self.coarse_A = jnp.asarray(Ac)
         self.coarse_inv = jnp.asarray(np.linalg.inv(Ac))
 
     # -- grid reshape helpers ------------------------------------------
@@ -172,6 +227,18 @@ class GMG:
         out = g.reshape(-1)
         return jnp.where(self.forms[lvl + 1].ess_mask, 0.0, out)
 
+    def restrict_diag(self, lvl, d):
+        """fine -> coarse for a DIAGONAL operator field: d_c = diag(P^T
+        diag(d_f) P), the exact Galerkin coarse diagonal (squared transfer
+        weights).  The cross terms P[f,c] d_f P[f,c'] (c != c') are
+        dropped — they vanish exactly when d_f is supported on disjoint
+        interpolation stencils and are subdominant otherwise."""
+        g = self._to_grid(lvl, d)
+        for ax in self._axes(lvl):
+            g = _down1d_sq(g, ax, self.factors[lvl])
+        out = g.reshape(-1)
+        return jnp.where(self.forms[lvl + 1].ess_mask, 0.0, out)
+
     # -------------------------------------------------------------------
     # The level data (tables/ess/states/diags/coarse inverse) travels as an
     # explicit pytree so jitted callers (the fused Newton step) pass it as
@@ -185,31 +252,56 @@ class GMG:
             "states": list(self.states),
             "diags": list(self.diags),
             "coarse_inv": self.coarse_inv,
+            "coarse_A": self.coarse_A,
         }
 
-    def _smooth(self, data, lvl, x, b):
-        form = self.forms[lvl]
+    def shift_data(self, data, dshift):
+        """Per-level data for the SHIFTED V-cycle on A + diag(dshift):
+        the fine-level diagonal reaction restricted down every level with
+        the exact-Galerkin squared weights, plus the shifted coarse-level
+        dense inverse (Gauss-Jordan, f64-safe in trace).  Rebuilt once per
+        Newton direction / chunk program — O(ndof) pads/slices + one small
+        O(n^3) inverse; the per-V-cycle application cost is unchanged.
+
+        This makes the hierarchy alpha-aware: in the lumped-Schur LVPP
+        preconditioner the reaction diag(C D~^-1 C^T) grows like alpha on
+        the active set, and a V-cycle built on A alone over-corrects those
+        dofs by O(alpha) (VERDICT r2: ex5 floored at lambda=2.5e-7 for
+        exactly this reason)."""
+        shifts = [jnp.where(self.forms[0].ess_mask, 0.0, dshift)]
+        for lvl in range(len(self.forms) - 1):
+            shifts.append(self.restrict_diag(lvl, shifts[-1]))
+        Ac = data["coarse_A"] + jnp.diag(shifts[-1])
+        return {"shifts": shifts, "coarse_inv": _gj_inv(Ac)}
+
+    def _op(self, data, sdata, lvl, x):
+        y = self.forms[lvl].grad_mult_raw(
+            data["tables"][lvl], data["ess"][lvl], data["states"][lvl], x
+        )
+        if sdata is not None:
+            y = y + sdata["shifts"][lvl] * x  # shifts are 0 at ess dofs
+        return y
+
+    def _smooth(self, data, lvl, x, b, sdata=None):
         d = data["diags"][lvl]
+        if sdata is not None:
+            d = d + sdata["shifts"][lvl]
         safe = jnp.where(jnp.abs(d) < 1e-30, 1.0, d)
         for _ in range(self.nu):
-            r = b - form.grad_mult_raw(
-                data["tables"][lvl], data["ess"][lvl], data["states"][lvl], x
-            )
+            r = b - self._op(data, sdata, lvl, x)
             x = x + self.omega * r / safe
         return x
 
-    def vcycle_pure(self, data, lvl, b):
+    def vcycle_pure(self, data, lvl, b, sdata=None):
         if lvl == len(self.forms) - 1:
-            return data["coarse_inv"] @ b
-        form = self.forms[lvl]
-        x = self._smooth(data, lvl, jnp.zeros_like(b), b)
-        r = b - form.grad_mult_raw(
-            data["tables"][lvl], data["ess"][lvl], data["states"][lvl], x
-        )
+            cinv = data["coarse_inv"] if sdata is None else sdata["coarse_inv"]
+            return cinv @ b
+        x = self._smooth(data, lvl, jnp.zeros_like(b), b, sdata)
+        r = b - self._op(data, sdata, lvl, x)
         rc = self.restrict(lvl, r)
-        xc = self.vcycle_pure(data, lvl + 1, rc)
+        xc = self.vcycle_pure(data, lvl + 1, rc, sdata)
         x = x + self.prolong(lvl, xc)
-        return self._smooth(data, lvl, x, b)
+        return self._smooth(data, lvl, x, b, sdata)
 
     def vcycle(self, lvl, b):
         return self.vcycle_pure(self.pdata(), lvl, b)
@@ -352,6 +444,14 @@ class PGSchurGMG:
     def fused_pdata(self):
         return self.gmg.pdata()
 
-    def apply_primal(self, data, v):
-        """V-cycle on the primal block (used additively by the Schur CG)."""
-        return self.gmg.vcycle_pure(data, 0, v)
+    def shift_data(self, data, dshift):
+        """See GMG.shift_data — enables the alpha-aware shifted V-cycle on
+        the lumped Schur complement S~ = A + diag(C D~^-1 C^T)."""
+        return self.gmg.shift_data(data, dshift)
+
+    def apply_primal(self, data, v, sdata=None):
+        """V-cycle on the primal block: on A when ``sdata`` is None (used
+        additively with the reaction diagonal by the condensed-Schur CG),
+        on the shifted S~ when ``sdata`` comes from ``shift_data`` (the
+        complete S~-block preconditioner for the lumped MINRES path)."""
+        return self.gmg.vcycle_pure(data, 0, v, sdata)

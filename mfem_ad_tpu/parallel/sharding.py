@@ -236,6 +236,64 @@ class ShardedForm:
         )(tables, state)
         return jnp.where(ess, 1.0, d)
 
+    def schur_arrays_raw(self, tables, ess, state, reg, jacobi, lumped):
+        """Sharded counterpart of ``solvers._schur_arrays`` — lets the
+        production Schur/GMG solver run on element-sharded forms (the
+        reference's flagship is distributed MUMPS, test.sh:9,
+        tools.hpp:128-154).  The element-block ops (``element_matrices``,
+        node-block scatters) are shard-local by construction; one psum
+        completes each global assembly and a pmax the global maxima.
+        Outputs are replicated — O(dofs) preconditioner data rebuilt once
+        per Newton direction, consumed by replicated ``_schur_ops``."""
+        from ..solvers import _schur_arrays_core
+
+        form = self.form
+        intg = form.integrators[0]
+        axis = self.axis_name
+        K = self.n_devices
+        ne_true = intg.tables["edof"][0].shape[0]
+        fast0 = self.fast[0]
+
+        def local(tables, ess, state):
+            # global |diag(J)| — grad_diag_raw's local body
+            acc = jnp.zeros(form.ndof)
+            for intg_i, t_i, Hq_i, f_i in zip(
+                form.integrators, tables, state, self.fast
+            ):
+                ds = intg_i.diagonal(Hq_i, t_i, fast=f_i)
+                acc = acc + jnp.concatenate(ds)
+            d_full = jnp.abs(
+                jnp.where(ess, 1.0, jax.lax.psum(acc, axis))
+            )
+
+            def globalize(a):
+                # element-axis chunk [ne_loc, ...] -> replicated, trimmed
+                # to the true element count (drops copy-padded elements)
+                ne_loc = a.shape[0]
+                k = jax.lax.axis_index(axis)
+                full = jnp.zeros((ne_loc * K,) + a.shape[1:], a.dtype)
+                full = jax.lax.dynamic_update_slice_in_dim(
+                    full, a, k * ne_loc, axis=0
+                )
+                return jax.lax.psum(full, axis)[:ne_true]
+
+            return _schur_arrays_core(
+                form, intg, tables[0], ess, state[0], d_full, reg, jacobi,
+                lumped,
+                psum=lambda x: jax.lax.psum(x, axis),
+                pmax=lambda x: jax.lax.pmax(x, axis),
+                globalize=globalize, fast=fast0,
+            )
+
+        keys = ["Dblk_inv"] if lumped else ["De_inv"]
+        if jacobi:
+            keys += ["dshift", "safe"]
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(tuple(self.specs), P(), self._state_specs()),
+            out_specs={k: P() for k in keys},
+        )(tables, ess, state)
+
     # -- public jitted wrappers ------------------------------------------
     def energy(self, u, fields=None):
         fn = self._jit("energy", self.energy_raw)

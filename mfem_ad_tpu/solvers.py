@@ -83,7 +83,8 @@ def _pcg_init(matvec, M, bn, x0n, kend):
             jnp.asarray(False), jnp.asarray(kend, jnp.int32))
 
 
-def cg(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000):
+def cg(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000,
+       stall_window=200):
     """Preconditioned CG with division guards and a normalized RHS.
 
     Not jax.scipy's: TPU-emulated f64 keeps float32 exponent RANGE, so the
@@ -92,7 +93,9 @@ def cg(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000):
     division is guarded (a zero denominator terminates progress instead of
     poisoning the iterate) and the system is solved for b/||b|| so the
     monitored quantities stay O(1).  See ``_pcg_kernel`` for the
-    windowed floor exit.
+    windowed floor exit; ``stall_window`` sets the window (iterations per
+    >=1% required reduction) and ``stall_window=None`` disables the exit
+    for callers that need strict run-to-tolerance semantics.
     """
     norm_b = jnp.linalg.norm(b)
     bsafe = jnp.where(norm_b == 0, 1.0, norm_b)
@@ -102,7 +105,8 @@ def cg(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000):
     x0n = jnp.zeros_like(b) if x0 is None else x0 / bsafe
 
     target2 = jnp.maximum(tol, atol / bsafe) ** 2  # vs ||r||/||b||
-    body, cond = _pcg_kernel(matvec, M, target2, min(200, maxiter))
+    window = maxiter + 1 if stall_window is None else min(stall_window, maxiter)
+    body, cond = _pcg_kernel(matvec, M, target2, window)
     out = jax.lax.while_loop(
         cond, body, _pcg_init(matvec, M, bn, x0n, maxiter)
     )
@@ -191,10 +195,12 @@ def _minres_init(matvec, M, b, x0, kend):
     )
 
 
-def minres(matvec, b, x0=None, M=None, tol=1e-10, maxiter=1000):
+def minres(matvec, b, x0=None, M=None, tol=1e-10, maxiter=1000,
+           stall_window=200):
     """MINRES for symmetric (possibly indefinite) systems — the right Krylov
     method for the LVPP (u, psi) saddle Jacobian (reference solves it with
     MUMPS instead, tools.hpp:128-154).  Optional SPD preconditioner M.
+    ``stall_window=None`` disables the windowed floor exit (see ``cg``).
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -202,7 +208,8 @@ def minres(matvec, b, x0=None, M=None, tol=1e-10, maxiter=1000):
         M = lambda x: x  # noqa: E731
 
     target = tol * jnp.maximum(jnp.linalg.norm(b), 1e-30)
-    body, cond = _minres_kernel(matvec, M, target, min(200, maxiter))
+    window = maxiter + 1 if stall_window is None else min(stall_window, maxiter)
+    body, cond = _minres_kernel(matvec, M, target, window)
     out = jax.lax.while_loop(
         cond, body, _minres_init(matvec, M, b, x0, maxiter)
     )
@@ -236,10 +243,27 @@ def _batched_inv_small(A):
     return M[..., n:]
 
 
+def _primal_Mx(fp, pdata, arrays, lumped: bool):
+    """The S~-block (primal) preconditioner closure from a fused GMG, or
+    None.  Returns ``(closure, complete)``: ``complete=True`` means the
+    closure IS the primal preconditioner (no additive Jacobi term) — the
+    shifted V-cycle on the lumped Schur complement S~ = A + diag(C D~^-1
+    C^T) itself, with the alpha-dependent reaction restricted into every
+    level (VERDICT r2 #1: the A-only V-cycle over-corrects active-set
+    dofs by O(alpha), flooring ex5 at lambda=2.5e-7).  ``complete=False``
+    is the legacy additive combination v/diag(S) + V-cycle_A(v)."""
+    if fp is None or not hasattr(fp, "apply_primal"):
+        return None
+    if lumped and hasattr(fp, "shift_data") and "dshift" in arrays:
+        sdata = fp.shift_data(pdata, arrays["dshift"])
+        return (lambda v: fp.apply_primal(pdata, v, sdata)), True
+    return (lambda v: fp.apply_primal(pdata, v)), False
+
+
 def _schur_solve_traced(form, tables, ess, state, r, tol: float,
                         maxiter: int, reg: float = 1e-6,
                         jacobi: bool = True, refine: int = 1,
-                        lumped: bool = False, Mextra=None):
+                        lumped: bool = False, fp=None, pdata=()):
     """Traced (jit-safe) Schur reduction of the 2-block LVPP saddle Jacobian
     [[A, C], [C^T, -D]] with an element-block-diagonal latent block D
     (L2 latent: dofs never couple across elements).  Eliminates the latent
@@ -263,6 +287,7 @@ def _schur_solve_traced(form, tables, ess, state, r, tol: float,
     with iteration counts set by the lumping quality rather than by alpha.
     """
     arrays = _schur_arrays(form, tables, ess, state, reg, jacobi, lumped)
+    Mextra = _primal_Mx(fp, pdata, arrays, lumped)
     S, M, Dinv, mv, pad_u, pad_p, n0, n1 = _schur_ops(
         form, tables, ess, state, arrays, lumped, Mextra
     )
@@ -270,7 +295,7 @@ def _schur_solve_traced(form, tables, ess, state, r, tol: float,
     if lumped:
         # SPD block-diagonal preconditioner (lumped Schur + lumped D) for
         # MINRES on the true saddle Jacobian.  With a GMG (Mextra) the
-        # S~ block is ONE additive V-cycle + reaction-diagonal application
+        # S~ block is ONE shifted V-cycle on S~ = A + diag(C D~^-1 C^T)
         # — linear, SPD, and ~40x cheaper per outer iteration than an
         # inner Krylov solve (the reference's PGPreconditioner applies
         # BoomerAMG once the same way, pg.hpp:388-400).  Without one,
@@ -306,15 +331,35 @@ def _schur_arrays(form, tables, ess, state, reg: float, jacobi: bool,
     """Traced: the array-valued pieces of the Schur reduction (latent-block
     inverse factors + condensed Jacobi diagonal), as a dict that can cross
     jit boundaries — the chunked driver computes them once per Newton
-    direction and threads them through every CG-chunk program."""
-    intg = form.integrators[0]
+    direction and threads them through every CG-chunk program.  Dispatches
+    to ``ShardedForm.schur_arrays_raw`` when the form is element-sharded
+    (the element-block ops are shard-local; one psum completes assembly)."""
+    if hasattr(form, "schur_arrays_raw"):
+        return form.schur_arrays_raw(tables, ess, state, reg, jacobi, lumped)
+    d_full = jnp.abs(form.grad_diag_raw(tables, ess, state))
+    return _schur_arrays_core(
+        form, form.integrators[0], tables[0], ess, state[0], d_full,
+        reg, jacobi, lumped,
+    )
+
+
+def _schur_arrays_core(form, intg, t, ess, Hq, d_full, reg: float,
+                       jacobi: bool, lumped: bool, psum=None, pmax=None,
+                       globalize=None, fast: bool = True):
+    """The Schur-reduction array math, shared between the serial path and
+    the shard-local body of ``ShardedForm.schur_arrays_raw``.  Collective
+    hooks (identity in serial): ``psum`` completes global-dof scatters,
+    ``pmax`` global maxima, ``globalize`` re-assembles element-axis arrays
+    into their replicated serial layout; ``fast`` is the integrator
+    dof-exchange mode for the scatter."""
+    ident = lambda x: x  # noqa: E731
+    psum = psum or ident
+    pmax = pmax or ident
+    globalize = globalize or ident
     off = form.offsets
     lb = len(off) - 2
     ub = lb - 1
     n0 = int(off[lb])
-    Hq = state[0]
-    t = tables[0]
-    d_full = jnp.abs(form.grad_diag_raw(tables, ess, state))
     out = {}
 
     if lumped:
@@ -333,8 +378,8 @@ def _schur_arrays(form, tables, ess, state, reg: float, jacobi: bool,
         node_blocks = jnp.einsum("evdwd->edvw", De4)
         edof_l = t["edof"][lb]  # [ne, ndl] scalar dof ids
         nds_l = sp_l.ndof_scalar
-        Dblk = jnp.zeros((nds_l, vl, vl), De.dtype).at[edof_l].add(
-            node_blocks
+        Dblk = psum(
+            jnp.zeros((nds_l, vl, vl), De.dtype).at[edof_l].add(node_blocks)
         )
         tr = jnp.trace(Dblk, axis1=1, axis2=2) / vl
         shift = jnp.maximum(reg * jnp.max(jnp.abs(tr)), 1e-30)
@@ -356,13 +401,19 @@ def _schur_arrays(form, tables, ess, state, reg: float, jacobi: bool,
         # case: TPU-emulated f64 keeps float32 exponent RANGE (~1e+-38),
         # so entire blocks can flush to exactly zero there and dmax alone
         # would be 0.
-        dmax = jnp.max(jnp.abs(De))
+        dmax = pmax(jnp.max(jnp.abs(De)))
         eye = jnp.eye(ndl, dtype=De.dtype)
         Bl = t["B"][lb][..., 0]  # [1|ne, nq, ndl] latent VALUE shapes
-        Me = jnp.einsum("eqd,eqk,eq->edk", Bl, Bl, t["w"])
-        De_inv = out["De_inv"] = _batched_inv_small(
-            De + (reg * dmax) * eye + 1e-20 * Me
-        )
+        wq = t["w"]
+        if Bl.shape[0] == 1 and wq.shape[0] != 1:
+            # padded sharded tables materialize w per-element while B stays
+            # element-shared; align for the einsum
+            Bl = jnp.broadcast_to(Bl, (wq.shape[0],) + Bl.shape[1:])
+        Me = jnp.einsum("eqd,eqk,eq->edk", Bl, Bl, wq)
+        De_inv = _batched_inv_small(De + (reg * dmax) * eye + 1e-20 * Me)
+        # globalized (trimmed to the true element count, replicated) for
+        # the element-contiguous L2 Dinv application in _schur_ops
+        out["De_inv"] = globalize(De_inv)
 
     if jacobi:
         # diag(S) = diag(A) + diag(C D^{-1} C^T); the second term dominates
@@ -383,7 +434,11 @@ def _schur_arrays(form, tables, ess, state, reg: float, jacobi: bool,
             dS = jnp.einsum("eij,ejk,eik->ei", Ce, De_inv, Ce)
         # byNODES flat rows (v, d) = v*nd + d -> [ne, nd, vdim] for scatter
         dS3 = dS.reshape(ne_c, sp_u.vdim, sp_u.nd).transpose(0, 2, 1)
-        d = d + intg.scatter(ub, dS3, t)
+        dS_nodes = psum(intg.scatter(ub, dS3, t, fast=fast))
+        d = d + dS_nodes
+        # the raw reaction diagonal diag(C D^-1 C^T) on the primal block,
+        # zeroed at essential dofs — input to the shifted GMG (_primal_Mx)
+        out["dshift"] = jnp.where(ess[:n0], 0.0, dS_nodes)
         out["safe"] = jnp.where(d < 1e-30, 1.0, d)
     return out
 
@@ -437,9 +492,15 @@ def _schur_ops(form, tables, ess, state, arrays, lumped: bool, Mextra):
         if Mextra is None:
             M = lambda v: v / safe  # noqa: E731
         else:
-            # additive SPD combination: V-cycle (diffusion-dominated dofs)
-            # + reaction diagonal (alpha-amplified active set)
-            M = lambda v: v / safe + Mextra(v)  # noqa: E731
+            mx, complete = Mextra
+            if complete:
+                # the shifted V-cycle on S~ handles both the diffusion
+                # block and the alpha-amplified reaction on its own
+                M = mx
+            else:
+                # additive SPD combination: V-cycle on A (diffusion-
+                # dominated dofs) + reaction diagonal (active set)
+                M = lambda v: v / safe + mx(v)  # noqa: E731
 
     return S, M, Dinv, mv, pad_u, pad_p, n0, n1
 
@@ -479,7 +540,7 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
 
     def mx_of(pdata):
         if fp is not None and hasattr(fp, "apply_primal"):
-            return lambda v: fp.apply_primal(pdata, v)
+            return (lambda v: fp.apply_primal(pdata, v)), False
         return None
 
     def prep_fn(tables, ess, x, b, fields):
@@ -578,7 +639,8 @@ def _schur_dir_chunked_lumped(form, opts, fp, x, b, fields, pdata,
 
     def ops_of(tables, ess, state, arrays, pdata):
         S, M, Dinv, mv, pad_u, pad_p, n0, _ = _schur_ops(
-            form, tables, ess, state, arrays, True, mx_of(pdata)
+            form, tables, ess, state, arrays, True,
+            _primal_Mx(fp, pdata, arrays, True),
         )
         if fp is not None:
             Mu = M
@@ -746,15 +808,12 @@ def _fused_newton_step(form, opts: "NewtonOptions"):
         r = jnp.where(ess, 0.0, r)
         state = form.grad_state_raw(tables, x, fields)
         if opts.lin_solver == "schur":
-            # element-exact elimination for L2 latents; diagonal-lumped
+            # element-exact elimination for L2 latents; lumped-Schur
             # block preconditioner + MINRES for H1 latents (ex5)
             lumped = form.spaces[-1].fe_type != "L2"
-            Mx = None
-            if fp is not None and hasattr(fp, "apply_primal"):
-                Mx = lambda v: fp.apply_primal(pdata, v)  # noqa: E731
             return _schur_solve_traced(
                 form, tables, ess, state, r, opts.lin_tol,
-                opts.lin_maxiter, lumped=lumped, Mextra=Mx,
+                opts.lin_maxiter, lumped=lumped, fp=fp, pdata=pdata,
             )
         mv = lambda v: form.grad_mult_raw(tables, ess, state, v)  # noqa: E731
         M = None
@@ -794,6 +853,12 @@ def _apply_step(form, x, c, b, fields, norm, opts):
         if nn < best_n:
             best_x, best_n = xn, nn
         d *= 0.5
+    if best_x is None:
+        # every damped candidate produced a NaN residual (e.g. a neo-
+        # Hookean direction inverting elements at all dampings); keep the
+        # current iterate so the Newton loop reports non-convergence
+        # instead of propagating None/NaN into the next mult.
+        return x
     return best_x
 
 
@@ -824,10 +889,11 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
         off = form.offsets
         if len(off) != 3:
             raise ValueError("lin_solver='schur' needs a 2-block system")
-        if not hasattr(form, "integrators"):
+        if not (hasattr(form, "integrators")
+                or hasattr(form, "schur_arrays_raw")):
             raise ValueError(
-                "lin_solver='schur' runs on serial forms (element-block "
-                "access); use minres/cg on ShardedForm"
+                "lin_solver='schur' needs element-block access "
+                "(BlockNonlinearForm or ShardedForm)"
             )
         if bool(np.any(np.asarray(form.ess_mask)[int(off[1]):])):
             raise ValueError(
@@ -862,11 +928,17 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
         if chunked:
             c, li = _schur_dir_chunked(form, opts, fp, x, b, fields, pdata)
             lin_iters.append(li)
-            x = _apply_step(form, x, c, b, fields, norm, opts)
+            xn = _apply_step(form, x, c, b, fields, norm, opts)
+            if xn is x:
+                break  # every damped candidate was NaN — no progress possible
+            x = xn
             continue
         if fused:
             c = step(form._tables(), form.ess_mask, x, b, fields, pdata)
-            x = _apply_step(form, x, c, b, fields, norm, opts)
+            xn = _apply_step(form, x, c, b, fields, norm, opts)
+            if xn is x:
+                break
+            x = xn
             continue
         state = form.grad_state(x, fields)
         if opts.lin_solver == "dense":
@@ -881,7 +953,10 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
             c = solve(
                 mv, r, M=M, tol=opts.lin_tol, maxiter=opts.lin_maxiter
             )
-        x = _apply_step(form, x, c, b, fields, norm, opts)
+        xn = _apply_step(form, x, c, b, fields, norm, opts)
+        if xn is x:
+            break
+        x = xn
 
     return NewtonResult(
         x=x,
