@@ -175,7 +175,7 @@ class FESpace:
         geo = ref_element(self.mesh.geom, 1)
         N = geo.eval(self.elem.nodes)  # [nd, ncorner]
         corners = self.mesh.corner_coords()  # [ne, nc, dim]
-        return np.einsum("dc,eck->edk", N, corners)
+        return np.einsum("dc,eck->edk", N, corners, optimize=True)
 
     # ------------------------------------------------------------------
     def _build_l2(self):
@@ -193,8 +193,126 @@ class FESpace:
         self.grid = ("l2",)
 
     # ------------------------------------------------------------------
+    def _build_h1_structured(self) -> bool:
+        """Direct lattice construction for structured quad/hex meshes.
+
+        On a Cartesian mesh the H1 dof lattice IS the p-refined tensor
+        grid, so the element-dof map and node coordinates are pure index
+        arithmetic — no unique-edge/face enumeration, no orientation
+        canonicalization, no relabel pass.  This is the multi-million-hex
+        setup path (the reference inherits MFEM's C++ space builder,
+        ex1.cpp:47); numbering is bit-identical to the topological path's
+        lexicographic relabeling (tested).  Returns False when the mesh
+        isn't a structured quad/hex (caller falls through).
+        """
+        mesh, p = self.mesh, self.order
+        st = mesh.structured
+        if st is None or mesh.geom not in (SQUARE, CUBE):
+            return False
+        t = lobatto_points(p)  # per-cell node params in [0, 1]
+        n1 = p + 1
+
+        def coords1d(n, s):
+            c = (np.arange(n)[:, None] + t[None, :p]).reshape(-1) * (s / n)
+            return np.concatenate([c, [s]])
+
+        def axis_dofs(n):
+            # [n, n1] lattice index i*p + k of local node k in cell i
+            return (
+                np.arange(n, dtype=np.int32)[:, None] * p
+                + np.arange(n1, dtype=np.int32)[None, :]
+            )
+
+        if st[0] == "cart2d":
+            _, nx, ny, sx, sy = st
+            NX, NY = nx * p + 1, ny * p + 1
+            self.ndof_scalar = NX * NY
+            cx, cy = coords1d(nx, sx), coords1d(ny, sy)
+            # dof id = gj*NX + gi (gj outer); element e = j*nx + i,
+            # local node = iy*n1 + ix (lex, x fastest)
+            X, Y = np.meshgrid(cx, cy, indexing="xy")  # [NY, NX]
+            self.node_coords = np.stack([X.ravel(), Y.ravel()], axis=1)
+            A = axis_dofs(nx)  # gi contribution [nx, n1]
+            B = axis_dofs(ny) * np.int32(NX)  # gj*NX [ny, n1]
+            # [ny(j), nx(i), n1(iy), n1(ix)]
+            self.edof = (
+                B[:, None, :, None] + A[None, :, None, :]
+            ).reshape(ny * nx, n1 * n1)
+            self.grid = ("h1", (nx, ny), (NY, NX))
+            self._structured_lattice = ("2d", nx, ny, p, NX, NY)
+        else:
+            _, nx, ny, nz, sx, sy, sz = st
+            NX, NY, NZ = nx * p + 1, ny * p + 1, nz * p + 1
+            self.ndof_scalar = NX * NY * NZ
+            cx, cy, cz = coords1d(nx, sx), coords1d(ny, sy), coords1d(nz, sz)
+            # dof id = gi*(NY*NZ) + gj*NZ + gk (gk fastest); element
+            # e = i*ny*nz + j*nz + k, local node = iz*n1^2 + iy*n1 + ix
+            X, Y, Z = np.meshgrid(cx, cy, cz, indexing="ij")  # [NX, NY, NZ]
+            self.node_coords = np.stack(
+                [X.ravel(), Y.ravel(), Z.ravel()], axis=1
+            )
+            A = axis_dofs(nx) * np.int32(NY * NZ)  # (i, ix) [nx, n1]
+            B = axis_dofs(ny) * np.int32(NZ)  # (j, iy) [ny, n1]
+            C = axis_dofs(nz)  # (k, iz) [nz, n1]
+            edof = (
+                A[:, None, None, None, None, :]
+                + B[None, :, None, None, :, None]
+                + C[None, None, :, :, None, None]
+            )  # [nx, ny, nz, iz, iy, ix]
+            self.edof = edof.reshape(nx * ny * nz, n1 ** 3)
+            self.grid = ("h1", (nx, ny, nz), (NX, NY, NZ))
+            self._structured_lattice = ("3d", nx, ny, nz, p, NX, NY, NZ)
+        self._relabel = None
+        return True
+
+    def _boundary_dofs_structured(self, bels: np.ndarray) -> np.ndarray:
+        """Lattice-box boundary dofs for the structured direct path: each
+        selected boundary face spans one (p+1)^(dim-1) lattice box whose
+        origin comes from its corner vertex ids (original Cartesian vertex
+        numbering, vid = i + j*(nx+1) [+ k*(nx+1)*(ny+1)])."""
+        lat = self._structured_lattice
+        p = self.order
+        n1 = p + 1
+        if lat[0] == "2d":
+            _, nx, ny, p_, NX, NY = lat
+            i = bels % (nx + 1)
+            j = bels // (nx + 1)
+            g = np.stack([i, j], axis=-1) * np.int64(p)  # [nb, 2, 2]
+            gmin = g.min(axis=1)  # [nb, 2]
+            vary_x = g[:, 0, 0] != g[:, 1, 0]  # segment runs along x
+            base = gmin[:, 1] * NX + gmin[:, 0]
+            stride = np.where(vary_x, 1, NX)
+            ids = base[:, None] + stride[:, None] * np.arange(n1)[None, :]
+            return np.unique(ids.ravel())
+        _, nx, ny, nz, p_, NX, NY, NZ = lat
+        nvx, nvy = nx + 1, ny + 1
+        i = bels % nvx
+        j = (bels // nvx) % nvy
+        k = bels // (nvx * nvy)
+        g = np.stack([i, j, k], axis=-1) * np.int64(p)  # [nb, 4, 3]
+        gmin, gmax = g.min(axis=1), g.max(axis=1)
+        strides = np.array([NY * NZ, NZ, 1], dtype=np.int64)
+        base = gmin @ strides
+        out = []
+        box = np.arange(n1)
+        for const_ax in range(3):
+            m = gmax[:, const_ax] == gmin[:, const_ax]
+            if not m.any():
+                continue
+            ax1, ax2 = [a for a in range(3) if a != const_ax]
+            ids = (
+                base[m][:, None, None]
+                + strides[ax1] * box[None, :, None]
+                + strides[ax2] * box[None, None, :]
+            )
+            out.append(ids.ravel())
+        return np.unique(np.concatenate(out))
+
+    # ------------------------------------------------------------------
     def _build_h1(self):
         mesh, p = self.mesh, self.order
+        if self._build_h1_structured():
+            return
         ne, nv = mesh.num_elements, mesh.num_vertices
         geom = mesh.geom
         e = mesh.elements.astype(np.int64)
@@ -209,7 +327,7 @@ class FESpace:
             raise ValueError(geom)
 
         # ---- unique edges (sorted pairs) and faces (sorted quadruples)
-        el_edges = np.stack([e[:, list(pr)] for pr in ledges], axis=1)  # [ne, nle, 2]
+        el_edges = e[:, np.array(ledges)]  # [ne, nle, 2] one fancy gather
         flat_edges = np.sort(el_edges.reshape(-1, 2), axis=1)
         from .native import unique_rows as _native_unique
 
@@ -218,7 +336,7 @@ class FESpace:
         n_edges = uniq_edges.shape[0]
 
         if lfaces:
-            el_faces = np.stack([e[:, list(q)] for q in lfaces], axis=1)
+            el_faces = e[:, np.array(lfaces)]  # [ne, nlf, 4]
             n_lf = len(lfaces)
         else:
             el_faces = np.zeros((ne, 0, 4), dtype=np.int64)
@@ -308,11 +426,13 @@ class FESpace:
         enc = uniq_edges[:, 0] * np.int64(nv) + uniq_edges[:, 1]
         self._edge_enc_order = np.argsort(enc)
         self._edge_enc = enc[self._edge_enc_order]
-        self._face_map = (
-            {tuple(row): i for i, row in enumerate(np.sort(uniq_faces, axis=1))}
-            if n_faces
-            else {}
-        )
+        if n_faces:
+            fenc = _encode_rows(np.sort(uniq_faces, axis=1))
+            self._face_enc_order = np.argsort(fenc)
+            self._face_enc = fenc[self._face_enc_order]
+        else:
+            self._face_enc = np.zeros(0, dtype="V32")
+            self._face_enc_order = np.zeros(0, dtype=np.int64)
         self._offsets = (nv, off_edge, off_face, off_int, npe, npf)
 
         # ---- lexicographic relabeling on structured Cartesian meshes.
@@ -376,6 +496,8 @@ class FESpace:
         if self.fe_type == L2:
             # L2 spaces have no boundary-conforming dofs; MFEM returns none
             return np.zeros(0, dtype=np.int64)
+        if getattr(self, "_structured_lattice", None) is not None:
+            return self._boundary_dofs_structured(bels)
         p = self.order
         nv, off_edge, off_face, off_int, npe, npf = self._offsets
         dofs = [bels.ravel()]
@@ -396,10 +518,7 @@ class FESpace:
                             + np.arange(npe)[None, :]
                         ).ravel()
                     )
-                fidx = np.array(
-                    [self._face_map[tuple(r)] for r in np.sort(bels, axis=1)],
-                    dtype=np.int64,
-                )
+                fidx = self._find_faces(bels)
                 dofs.append(
                     (off_face + fidx[:, None] * npf + np.arange(npf)[None, :]).ravel()
                 )
@@ -426,6 +545,12 @@ class FESpace:
         q = s[:, 0] * np.int64(self.mesh.num_vertices) + s[:, 1]
         pos = np.searchsorted(self._edge_enc, q)
         return self._edge_enc_order[pos]
+
+    def _find_faces(self, quads: np.ndarray) -> np.ndarray:
+        """Unique-face ids of [n, 4] vertex quadruples (any corner order)."""
+        q = _encode_rows(np.sort(quads, axis=1))
+        pos = np.searchsorted(self._face_enc, q)
+        return self._face_enc_order[pos]
 
     # ------------------------------------------------------------------
     def project(self, fn) -> np.ndarray:
@@ -547,29 +672,42 @@ def _canonical_face_corners(uniq_faces, el_faces, face_inv):
     """[n_faces, 4] corner ids ordered canonically [g00, g10, g01, g11].
 
     Reconstructed from one incident element's local face (corner layout
-    [c00, c10, c01, c11]).
+    [c00, c10, c01, c11]).  Fully vectorized — this runs once per space
+    build and is on the multi-million-hex setup path (the reference
+    inherits MFEM's C++ face machinery, ex1.cpp:47).
     """
     n_faces = uniq_faces.shape[0]
-    out = np.empty((n_faces, 4), dtype=np.int64)
-    seen = np.zeros(n_faces, dtype=bool)
-    ne, nlf = face_inv.shape
-    nbrs = {0: (1, 2), 1: (0, 3), 2: (3, 0), 3: (2, 1)}
-    diag = {0: 3, 1: 2, 2: 1, 3: 0}
     flat_inv = face_inv.ravel()
     flat_faces = el_faces.reshape(-1, 4)
-    first = np.full(n_faces, -1, dtype=np.int64)
-    for idx in range(flat_inv.shape[0]):
-        f = flat_inv[idx]
-        if first[f] < 0:
-            first[f] = idx
-    for f in range(n_faces):
-        c = flat_faces[first[f]]
-        oi = int(np.argmin(c))
-        n1, n2 = nbrs[oi]
-        if c[n1] > c[n2]:
-            n1, n2 = n2, n1
-        out[f] = (c[oi], c[n1], c[n2], c[diag[oi]])
+    # first incident (element, local-face) per unique face: flat_inv's
+    # values are exactly 0..n_faces-1, so unique's return_index gives the
+    # first occurrence of each
+    _, first = np.unique(flat_inv, return_index=True)
+    c = flat_faces[first]  # [n_faces, 4] local-lex corner ids
+    # quad adjacency in local lex layout [c00, c10, c01, c11]
+    n1_tab = np.array([1, 0, 3, 2])
+    n2_tab = np.array([2, 3, 0, 1])
+    diag_tab = np.array([3, 2, 1, 0])
+    oi = np.argmin(c, axis=1)  # canonical origin = min corner id
+    n1, n2 = n1_tab[oi], n2_tab[oi]
+    cn1 = np.take_along_axis(c, n1[:, None], axis=1)[:, 0]
+    cn2 = np.take_along_axis(c, n2[:, None], axis=1)[:, 0]
+    swap = cn1 > cn2  # s-axis runs toward the smaller neighbor
+    out = np.empty((n_faces, 4), dtype=np.int64)
+    out[:, 0] = np.take_along_axis(c, oi[:, None], axis=1)[:, 0]
+    out[:, 1] = np.where(swap, cn2, cn1)
+    out[:, 2] = np.where(swap, cn1, cn2)
+    out[:, 3] = np.take_along_axis(c, diag_tab[oi][:, None], axis=1)[:, 0]
     return out
+
+
+def _encode_rows(rows: np.ndarray) -> np.ndarray:
+    """Order-preserving 1-D void encoding of non-negative int64 rows:
+    big-endian bytes compare lexicographically like the numeric tuples,
+    so sorted-row membership queries become one searchsorted over voids
+    (replaces a Python dict on the multi-million-face setup path)."""
+    rows = np.ascontiguousarray(rows.astype(">i8"))
+    return rows.view(f"V{rows.shape[1] * 8}").ravel()
 
 
 def qspace_to_fespace(mesh, ir, order: int | None = None):

@@ -76,12 +76,16 @@ def geom_factors(mesh: Mesh, ir: IntegrationRule) -> GeomFactors:
     N = geo.eval(ir.points)  # [nq, nc]
     dN = geo.grad(ir.points)  # [nq, nc, dim]
     corners = mesh.corner_coords()  # [ne, nc, dim]
-    xq = np.einsum("qc,eck->eqk", N, corners)
     ne = corners.shape[0]
     if mesh.uniform_jacobian and ne > 1:
         # uniform Cartesian: every element has the same (affine) Jacobian —
         # compute it once and expose read-only broadcast views
         jac1 = np.einsum("qcm,eck->eqkm", dN, corners[:1])
+        # affine map: x = x0 + J xi, so the qp offsets J xi are one small
+        # [nq, dim] product shared by all elements — a broadcast add
+        # instead of a [ne, nq, dim] einsum (the multi-million-hex
+        # LinearForm setup path)
+        xq = corners[:, :1, :] + (ir.points @ jac1[0, 0].T)[None, :, :]
         det1, inv1 = _det_inv(jac1)
         if np.any(det1 <= 0):
             raise ValueError("non-positive element Jacobian")
@@ -94,7 +98,8 @@ def geom_factors(mesh: Mesh, ir: IntegrationRule) -> GeomFactors:
             invj=np.broadcast_to(inv1, full),
             w=np.broadcast_to(w1, full[:2]),
         )
-    jac = np.einsum("qcm,eck->eqkm", dN, corners)
+    xq = np.einsum("qc,eck->eqk", N, corners, optimize=True)
+    jac = np.einsum("qcm,eck->eqkm", dN, corners, optimize=True)
     detj, invj = _det_inv(jac)
     if np.any(detj <= 0):
         raise ValueError("non-positive element Jacobian (inverted element)")
@@ -114,4 +119,4 @@ def phys_dshape(
     if mesh.uniform_jacobian and ne > 1:
         G1 = np.einsum("qdm,eqmk->eqdk", dphi, gf.invj[:1])
         return np.broadcast_to(G1, (ne,) + G1.shape[1:])
-    return np.einsum("qdm,eqmk->eqdk", dphi, gf.invj)
+    return np.einsum("qdm,eqmk->eqdk", dphi, gf.invj, optimize=True)

@@ -15,6 +15,13 @@
 #include <cstring>
 #include <vector>
 
+#ifdef _OPENMP
+#include <parallel/algorithm>
+#define MK_SORT __gnu_parallel::sort
+#else
+#define MK_SORT std::sort
+#endif
+
 extern "C" {
 
 // Sort-based unique rows of an [n, k] int64 array (rows pre-sorted within
@@ -37,7 +44,7 @@ int64_t unique_rows_k2(const int64_t* rows, int64_t n,
                    static_cast<uint64_t>(rows[2 * i + 1]),
                i};
   }
-  std::sort(keys.begin(), keys.end());
+  MK_SORT(keys.begin(), keys.end());
   int64_t nu = 0;
   for (int64_t i = 0; i < n; ++i) {
     if (i == 0 || keys[i].first != keys[i - 1].first) {
@@ -70,7 +77,7 @@ int64_t unique_rows_k4(const int64_t* rows, int64_t n,
                    static_cast<uint64_t>(r[3]),
                i};
   }
-  std::sort(keys.begin(), keys.end());
+  MK_SORT(keys.begin(), keys.end());
   int64_t nu = 0;
   for (int64_t i = 0; i < n; ++i) {
     if (i == 0 || !(keys[i] == keys[i - 1])) {
@@ -112,7 +119,7 @@ int64_t mk_unique_rows(const int64_t* rows, int64_t n, int64_t k,
     }
     return false;
   };
-  std::sort(order.begin(), order.end(), less);
+  MK_SORT(order.begin(), order.end(), less);
   auto equal = [rows, k](int64_t a, int64_t b) {
     return std::memcmp(rows + a * k, rows + b * k,
                        sizeof(int64_t) * k) == 0;
