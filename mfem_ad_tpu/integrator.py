@@ -106,6 +106,14 @@ def _space_gridmeta(space):
     return ("h1", g[1], g[2], offs, p)
 
 
+def _meta_ne(meta, nds: int, nd: int) -> int:
+    """True (unpadded) element count implied by a grid meta."""
+    if meta[0] == "l2":
+        return nds // nd
+    ne = int(np.prod(meta[1]))
+    return 2 * ne if meta[0] == "h1t" else ne
+
+
 def _fast_gather(u, meta, vdim: int, nd: int):
     """Gather element dofs [ne, nd, vdim] without a gather op (or None).
 
@@ -438,7 +446,20 @@ class ADBlockIntegrator:
             _, axis, K = fast
             ue = _fast_gather(u, meta, vdim, nd)
             if ue is not None:
-                ne_local = ue.shape[0] // K
+                ne_true = ue.shape[0]
+                ne_local = -(-ne_true // K)
+                pad = ne_local * K - ne_true
+                if pad:
+                    # non-divisible element count: extend the band with
+                    # copies of element 0 — matching padded_tables'
+                    # copy-pad (zero quadrature weight kills their
+                    # contributions; copies keep the energy evaluation
+                    # inside the function's domain)
+                    ue = jnp.concatenate(
+                        [ue, jnp.broadcast_to(
+                            ue[:1], (pad,) + ue.shape[1:]
+                        )], axis=0,
+                    )
                 k = jax.lax.axis_index(axis)
                 return jax.lax.dynamic_slice_in_dim(
                     ue, k * ne_local, ne_local, axis=0
@@ -463,6 +484,10 @@ class ADBlockIntegrator:
                 full = jax.lax.dynamic_update_slice_in_dim(
                     full, re, k * ne_local, axis=0
                 )
+                ne_true = _meta_ne(meta, nds, nd)
+                if full.shape[0] != ne_true:
+                    # drop the copy-pad tail (its w=0 values are zero)
+                    full = full[:ne_true]
                 return _fast_scatter(full, meta, vdim, nd)
             fast = False
         if fast:

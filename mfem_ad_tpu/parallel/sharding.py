@@ -85,15 +85,17 @@ class ShardedForm:
         self.tables = [
             self._place(t, sp) for t, sp in zip(self.tables, self.specs)
         ]
-        # The structured gather-free fast path works under shard_map when
-        # the element axis needs no copy-padding (each shard's chunk is a
-        # contiguous element range of the lexicographic ordering); see
-        # integrator._gather_any/_scatter_any ("shard" mode).  Otherwise
-        # fall back to the generic edof gather per integrator.
+        # The structured gather-free fast path runs under shard_map for ANY
+        # element count: each shard runs the full strided-slice gather on
+        # the replicated dof vector, extends the band with element-0 copies
+        # when ne % n_devices != 0 (mirroring padded_tables' zero-weight
+        # copy-pad) and dynamic-slices its contiguous chunk; the scatter
+        # drops the pad tail before the dilated-pad reduction.  See
+        # integrator._gather_any/_scatter_any ("shard" mode).  Unstructured
+        # meshes (no grid meta) fall through to the generic edof gather
+        # inside the same mode.
         self.fast = [
             ("shard", axis_name, self.n_devices)
-            if intg.tables["edof"][0].shape[0] % self.n_devices == 0
-            else False
             for intg in form.integrators
         ]
         self._jit_cache: dict[str, object] = {}
