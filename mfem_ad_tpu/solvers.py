@@ -819,6 +819,11 @@ def _fused_newton_step(form, opts: "NewtonOptions"):
         M = None
         if fp is not None:
             d0 = form.grad_diag_raw(tables, ess, state)
+            if getattr(fp, "nonlinear", False):
+                # re-linearize coarse GMG levels at the current iterate
+                # (traced, once per direction) — without this the V-cycle
+                # preconditions a nonlinear energy with its Hessian at 0
+                pdata = fp.fused_refresh(pdata, x, fields)
             M = lambda v: fp.fused_apply(pdata, state, d0, v)  # noqa: E731
         elif opts.preconditioner == "jacobi":
             d = jnp.abs(form.grad_diag_raw(tables, ess, state))

@@ -68,8 +68,44 @@ def main():
     state = sf.grad_state(sf.replicate(u), fields)
     v = sf.replicate(rng.standard_normal(pb.form.ndof))
     y = np.asarray(sf.grad_mult(state, v))
-    print(f"MP_OK {np.linalg.norm(r_np):.12e} {np.linalg.norm(y):.12e}",
-          flush=True)
+
+    # Full distributed LVPP solve: the reference's mpirun smoke runs ex4
+    # to convergence (test.sh:9); here the PG loop with the production
+    # Schur solver spans the two-process mesh and the end state must
+    # match a process-local serial solve to solver tolerance.
+    from mfem_ad_tpu.pg import PGSolver, PGStepSizeRule
+    from mfem_ad_tpu.solvers import NewtonOptions
+
+    rule = PGStepSizeRule(PGStepSizeRule.EXP, 0.1, 1e4, 2.0)
+    nopts = NewtonOptions(
+        abs_tol=1e-9, max_iter=20, lin_solver="schur", lin_tol=1e-12,
+        lin_maxiter=2000,
+    )
+
+    def run(form):
+        solver = PGSolver(
+            form, rule, latent_block=1, latent_space=pb.latent_space,
+            newton_opts=nopts, max_iter=40, tol=1e-8,
+        )
+        return solver.solve(jnp.zeros(pb.form.ndof), pb.rhs)
+
+    res_mp = run(sf)
+    res_serial = run(pb.form)
+    assert res_mp.converged and res_serial.converged, (
+        res_mp.converged, res_serial.converged)
+    x_mp = np.asarray(res_mp.x)
+    x_serial = np.asarray(res_serial.x)
+    du = np.abs(x_mp - x_serial).max()
+    if du > 1e-7:
+        print("MP_SOLVE_MISMATCH", du, flush=True)
+        sys.exit(1)
+    u_mp = x_mp[: pb.primal_space.ndof]
+    print(
+        f"MP_OK {np.linalg.norm(r_np):.12e} {np.linalg.norm(y):.12e} "
+        f"pg_its={res_mp.iterations} lam={res_mp.lambda_diff:.6e} "
+        f"u=[{u_mp.min():.8f},{u_mp.max():.8f}]",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
