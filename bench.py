@@ -90,7 +90,22 @@ def _loop_jacobian(intg, reps: int, fused):
     """fused: None = auto-route (element_jacobians), False = force the
     XLA path, True = force the Pallas kernel."""
     if fused:
-        from mfem_ad_tpu.ops.fused_jacobian import element_jacobian_via_pallas
+        from mfem_ad_tpu.ops.fused_jacobian import (
+            element_jacobian_via_pallas,
+            supports_fused,
+        )
+
+        if not supports_fused(intg):
+            # The kernel needs the precomputed W factor in VMEM; the
+            # integrator only builds W where the W-GEMM route wins (2D /
+            # low order).  In 3D/high-order it selects the direct-B
+            # einsum route, so the fused kernel is inapplicable there
+            # by construction — see ops/fused_jacobian.py Status.
+            raise SystemExit(
+                "BENCH_FUSED=1: this config has no precomputed W table; "
+                "the Pallas kernel does not apply (see "
+                "ops/fused_jacobian.py)."
+            )
 
     @jax.jit
     def run(tables, u):
@@ -148,11 +163,20 @@ def _rate(make_loop, intg, u, r0: int, r1: int):
 
 
 def _gemm_flops_per_element(intg):
-    """FLOPs/element of the two assembly GEMMs (x = ueR^T, A = H W) —
-    a *lower bound* on real work (excludes the per-qp AD Hessian)."""
+    """FLOPs/element of the assembly contractions actually executed —
+    a *lower bound* on real work (excludes the per-qp AD Hessian).
+
+    Two routes exist (integrator.element_matrices): the precomputed-W
+    GEMM A = H @ W (flops 2 nq w^2 nde^2 per element) when the W factor
+    table fits, and the direct B H B^T einsum (per qp: [nde,w] @ [w,w] @
+    [w,nde] -> 2 nde w^2 + 2 nde^2 w) otherwise — using the W formula for
+    the einsum route overstated MFU ~4x at p>=2/3D (nde >> w)."""
     nq, w = intg.nq, intg.widths[0]
     nde = intg.vdim[0] * intg.nd[0]
-    return 2 * nde * nq * w + 2 * (nq * w * w) * (nde * nde)
+    x_gemm = 2 * nde * nq * w
+    if "0_0" in intg.tables.get("W", {}):
+        return x_gemm + 2 * (nq * w * w) * (nde * nde)
+    return x_gemm + nq * (2 * nde * w * w + 2 * nde * nde * w)
 
 
 def headline(fused: bool):
@@ -179,23 +203,35 @@ def headline(fused: bool):
 
 def sweep():
     rows = []
-    for dim, n in ((2, 512), (3, 48)):
+    for dim, n_base in ((2, 512), (3, 32)):
         for order in (1, 2, 3):
+            n = n_base
             if dim == 2 and order == 3:
                 n = 256  # p3/2D at 512^2 elems needs a ~24 GB fusion buffer
             if dim == 3 and order == 3:
-                n = 32  # keep the p3 3D dof tensor within HBM
-            m, fes, intg, u = _build(order, dim, n)
-            ne = m.num_elements
-            r1 = max(20, min(220, int(2e8 / (ne * intg.nq))))
-            r0 = max(2, r1 // 10)
-            jac = _rate(
-                lambda reps: _loop_jacobian(intg, reps, None),
-                intg, u, r0, r1,
-            )
-            res = _rate(
-                lambda reps: _loop_residual(intg, reps), intg, u, r0, r1
-            )
+                n = 16  # keep the p3 3D dof tensor within HBM
+            for attempt in range(3):
+                try:
+                    m, fes, intg, u = _build(order, dim, n)
+                    ne = m.num_elements
+                    r1 = max(20, min(220, int(2e8 / (ne * intg.nq))))
+                    r0 = max(2, r1 // 10)
+                    jac = _rate(
+                        lambda reps: _loop_jacobian(intg, reps, None),
+                        intg, u, r0, r1,
+                    )
+                    res = _rate(
+                        lambda reps: _loop_residual(intg, reps),
+                        intg, u, r0, r1,
+                    )
+                    break
+                except Exception as e:  # OOM on small-HBM chips: halve n
+                    print(f"p={order}/{dim}D n={n} failed ({type(e).__name__})"
+                          f"; retrying at n={n // 2}",
+                          file=sys.stderr, flush=True)
+                    n //= 2
+            else:
+                continue
             mfu = jac * _gemm_flops_per_element(intg) / PEAK_FLOPS
             rows.append((order, dim, ne, res, jac, mfu))
             print(
@@ -213,8 +249,10 @@ def sweep():
 
 
 def main():
-    # BENCH_FUSED: unset = auto-route (fused on TPU when eligible),
-    # "1" = force Pallas, "0" = force the XLA path.
+    # BENCH_FUSED: unset = auto-route (the XLA path unless the
+    # MFEM_AD_TPU_FUSED=1 opt-in is set — the Pallas kernel is a tested
+    # reference implementation, never the default; see
+    # ops/fused_jacobian.py), "1" = force Pallas, "0" = force XLA.
     fused = {"1": True, "0": False}.get(os.environ.get("BENCH_FUSED", ""))
     if os.environ.get("BENCH_SWEEP", "") == "1":
         sweep()

