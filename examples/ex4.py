@@ -37,11 +37,15 @@ def main():
                          "(the scalable TPU default; 'dense' mirrors the "
                          "reference's MUMPS exactness on small problems)")
     ap.add_argument("-pv", "--paraview", action="store_true")
+    ap.add_argument("-d", "--dim", type=int, default=2, choices=[2, 3],
+                    help="3 = hex-mesh 3D obstacle (superset of the "
+                         "2D-only reference, ex4.cpp:78)")
     args = ap.parse_args()
 
     res, pb = obstacle.solve(
         order=args.order,
         ref_levels=args.ref,
+        dim=args.dim,
         rule_type=args.rule,
         alpha0=args.alpha0,
         max_alpha=args.max_alpha,

@@ -36,6 +36,11 @@ def load_fn(x):
     return 2 * np.pi**2 * np.sin(np.pi * x[0]) * np.sin(np.pi * x[1])
 
 
+def load_fn_3d(x):
+    return (3 * np.pi**2 * np.sin(np.pi * x[0]) * np.sin(np.pi * x[1])
+            * np.sin(np.pi * x[2]))
+
+
 @dataclass
 class Problem:
     mesh: object
@@ -48,8 +53,15 @@ class Problem:
 
 
 def build(order: int = 2, ref_levels: int = 3, n0: int = 10,
-          lower: float = 0.0, upper: float = 0.5) -> Problem:
-    m = M.make_cartesian_2d(n0, n0).uniform_refine(ref_levels)
+          lower: float = 0.0, upper: float = 0.5, dim: int = 2) -> Problem:
+    """dim=3 is a superset of the reference (ex4.cpp:78 is 2D-only):
+    the whole LVPP stack — mixed H1xL2 block integrator, Schur
+    elimination, hp-GMG — is dimension-agnostic, so the hex-mesh
+    obstacle problem comes for free."""
+    if dim == 3:
+        m = M.make_cartesian_3d(n0, n0, n0).uniform_refine(ref_levels)
+    else:
+        m = M.make_cartesian_2d(n0, n0).uniform_refine(ref_levels)
     dim = m.dim
     h1 = FESpace(m, order + 1)
     l2 = FESpace(m, order - 1, L2)
@@ -70,7 +82,7 @@ def build(order: int = 2, ref_levels: int = 3, n0: int = 10,
     form.set_essential_bc([np.ones(m.max_bdr_attribute()), None])
 
     rhs = np.zeros(form.ndof)
-    b = LinearForm(h1, load_fn).assemble()
+    b = LinearForm(h1, load_fn_3d if dim == 3 else load_fn).assemble()
     b[np.asarray(h1.boundary_dofs())] = 0.0
     rhs[: h1.ndof] = b
     return Problem(
@@ -79,7 +91,7 @@ def build(order: int = 2, ref_levels: int = 3, n0: int = 10,
     )
 
 
-def _primal_gmg(order: int, ref_levels: int, n0: int):
+def _primal_gmg(order: int, ref_levels: int, n0: int, dim: int = 2):
     """hp-GMG on the primal diffusion block (H1(order+1)): order-p fine
     level p-coarsens to Q1, then geometric coarsening to the n0 mesh.
     Used additively inside the condensed Schur solve (PGSchurGMG)."""
@@ -88,7 +100,8 @@ def _primal_gmg(order: int, ref_levels: int, n0: int):
     from ..ad import DiffusionEnergy
 
     def build_fn(n, p):
-        m = M.make_cartesian_2d(n, n)
+        m = (M.make_cartesian_3d(n, n, n) if dim == 3
+             else M.make_cartesian_2d(n, n))
         fes = FESpace(m, p)
         f = NonlinearForm(fes)
         f.add_ad_integrator(DiffusionEnergy(m.dim), ADEval.GRAD)
@@ -114,12 +127,14 @@ def solve(
     n0: int = 10,
     gmg: bool = True,
     lin_maxiter: int = 2000,
+    dim: int = 2,
 ):
-    pb = build(order, ref_levels, n0=n0)
+    pb = build(order, ref_levels, n0=n0, dim=dim)
     rule = PGStepSizeRule(rule_type, alpha0, max_alpha, ratio, ratio2)
     precond = None
     if lin_solver == "schur" and gmg:
-        precond = _primal_gmg(order, ref_levels, n0).as_preconditioner()
+        precond = _primal_gmg(order, ref_levels, n0,
+                              dim=dim).as_preconditioner()
     elif lin_solver not in ("dense", "schur"):
         precond = "jacobi"
     nopts = NewtonOptions(

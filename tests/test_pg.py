@@ -146,6 +146,24 @@ def test_obstacle_schur_gmg_large_alpha_regression():
     assert u.min() > -1e-8 and u.max() < 0.5 + 5e-3
 
 
+def test_obstacle_3d_lvpp():
+    """3D hex-mesh LVPP obstacle — a superset of the reference (ex4.cpp:78
+    builds a 2D Cartesian mesh only).  The whole stack (mixed H1xL2 block
+    integrator, exact Schur elimination, 3D hp-GMG) is dimension-agnostic."""
+    from mfem_ad_tpu.models import obstacle
+
+    res, pb = obstacle.solve(
+        order=1, ref_levels=0, n0=6, dim=3,
+        rule_type=PGStepSizeRule.EXP, alpha0=0.1, ratio=2.0,
+        lin_solver="schur", max_pg_iter=40,
+    )
+    assert res.converged
+    u = np.asarray(res.x[: pb.primal_space.ndof])
+    # coarse-mesh interpolation overshoot of the bound is O(h): 0.5206
+    # measured at the 6^3 mesh (2D ref-0 shows the same at 0.5033)
+    assert u.min() > -1e-8 and u.max() < 0.5 + 3e-2
+
+
 @pytest.mark.slow
 def test_inexact_schur_matches_tight_dense_obstacle():
     """VERDICT r2 weak #8: the shipped inexact path (Schur/GMG direction +
