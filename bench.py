@@ -173,7 +173,14 @@ def _gemm_flops_per_element(intg):
     the einsum route overstated MFU ~4x at p>=2/3D (nde >> w)."""
     nq, w = intg.nq, intg.widths[0]
     nde = intg.vdim[0] * intg.nd[0]
-    x_gemm = 2 * nde * nq * w
+    v, nd, sd = intg.vdim[0], intg.nd[0], intg.sd[0]
+    if "R0" in intg.tables:
+        x_gemm = 2 * v * nd * nq * sd  # blocked interp (vdim x fewer)
+    else:
+        x_gemm = 2 * nde * nq * w
+    if "0_0" in intg.tables.get("W0", {}):
+        # blocked-W route: vdim^2 fewer FLOPs than the full Bf (x) Bf GEMM
+        return x_gemm + 2 * v * v * (nq * sd * sd) * (nd * nd)
     if "0_0" in intg.tables.get("W", {}):
         return x_gemm + 2 * (nq * w * w) * (nde * nde)
     return x_gemm + nq * (2 * nde * w * w + 2 * nde * nde * w)

@@ -411,6 +411,85 @@ class ADBlockIntegrator:
                 )
                 for bf in Bf_np
             )
+            # Blocked factors: Bf is block-diagonal in vdim (one b0 copy per
+            # component), so contracting against b0 (x) b0 instead of
+            # Bf (x) Bf does the identical sum with vdim_s*vdim_t fewer
+            # FLOPs (4x in 2D, 9x in 3D vector problems) while staying one
+            # large GEMM — the vdim axes ride the GEMM M dimension.
+            #   R0_s [nq*sd_s, nd_s]               (interp/residual factor)
+            #   W0_st [nq*sd_s*sd_t, nd_s*nd_t]    (A = Hblk @ W0)
+            # Routing is by a padded-MXU cost model, not raw FLOPs: the MXU
+            # tiles K and N at 128 lanes, so a blocked GEMM whose K/N fall
+            # far below a tile can cost MORE than the full-Bf GEMM despite
+            # vdim^2 fewer FLOPs (measured: W0 at Q1/2D/vdim=2 is 1.65x
+            # SLOWER — K=36, N=16 vs the full W's K=144, N=64).  A factor
+            # is only installed where the model says it wins; the compute
+            # methods prefer blocked > full > einsum among installed keys.
+            def mxu_cost(m_mult, k, n):
+                ru = lambda x: -(-x // 128) * 128  # noqa: E731
+                return m_mult * ru(k) * ru(n)
+
+            R0 = []
+            for s in range(nb):
+                v, nd, sdl = self.vdim[s], self.nd[s], self.sd[s]
+                blocked = mxu_cost(v, self.nq * sdl, nd)
+                full = mxu_cost(1, self.nq * sdl * v, nd * v)
+                if v > 1 and blocked >= full:
+                    R0 = None  # one flag for all spaces: keep keys uniform
+                    break
+                R0.append(
+                    jnp.asarray(
+                        np.asarray(B[s][0]).transpose(0, 2, 1).reshape(
+                            -1, nd
+                        ),
+                        dtype=dtype,
+                    )
+                )
+            if R0 is not None:
+                self.tables["R0"] = tuple(R0)
+            # D0_s [nq*sd*sd, nd]: per-dof diagonal factor
+            # D0[(q,a,b), d] = b0[q,d,a] b0[q,d,b] — turns the Jacobi-
+            # diagonal triple contraction into one GEMM.
+            self.tables["D0"] = tuple(
+                jnp.asarray(
+                    np.einsum(
+                        "qda,qdb->qabd",
+                        np.asarray(B[s][0]),
+                        np.asarray(B[s][0]),
+                    ).reshape(-1, self.nd[s]),
+                    dtype=dtype,
+                )
+                for s in range(nb)
+            )
+            W0d = {}
+            for s in range(nb):
+                for t_ in range(nb):
+                    vs, vt = self.vdim[s], self.vdim[t_]
+                    sds, sdt = self.sd[s], self.sd[t_]
+                    nds, ndt = self.nd[s], self.nd[t_]
+                    sz = self.nq * sds * sdt * nds * ndt
+                    if sz > 32_000_000:
+                        continue  # fall back to the einsum path
+                    blocked = mxu_cost(vs * vt, self.nq * sds * sdt,
+                                       nds * ndt)
+                    ws, wt = self.widths[s], self.widths[t_]
+                    full_fits = (
+                        self.nq * ws * wt * vs * nds * vt * ndt
+                        <= 16_000_000
+                    )
+                    if full_fits and blocked >= mxu_cost(
+                        1, self.nq * ws * wt, vs * nds * vt * ndt
+                    ):
+                        continue  # the full-W GEMM tiles better
+                    b0s = np.asarray(B[s][0])
+                    b0t = np.asarray(B[t_][0])
+                    W0 = np.einsum("qia,qjb->qabij", b0s, b0t).reshape(
+                        self.nq * sds * sdt, nds * ndt
+                    )
+                    W0d[f"{s}_{t_}"] = jnp.asarray(W0, dtype=dtype)
+            self.tables["W0"] = W0d
+            # The full-Bf W factor survives only for the Pallas reference
+            # kernel (ops/fused_jacobian.py), which consumes it directly.
             Wd = {}
             for s in range(nb):
                 for t_ in range(nb):
@@ -564,7 +643,13 @@ class ADBlockIntegrator:
         xs = []
         for s in range(len(self.spaces)):
             ue = self.gather(s, ublocks[s], t, fast)
-            if "R" in t:
+            if "R0" in t:
+                v, nd, sd = self.vdim[s], self.nd[s], self.sd[s]
+                # [ne, nd, v] -> [ne*v, nd] @ R0^T -> [ne*v, nq*sd]
+                ue2 = ue.transpose(0, 2, 1).reshape(ne * v, nd)
+                x = (ue2 @ t["R0"][s].T).reshape(ne, v, nq, sd)
+                x = x.transpose(0, 2, 1, 3)  # [ne, nq, v, sd] comp-major
+            elif "R" in t:
                 ue2 = ue.transpose(0, 2, 1).reshape(ne, -1)  # [ne, nde]
                 x = ue2 @ t["R"][s].T  # [ne, nq*w] — one GEMM
             else:
@@ -598,9 +683,16 @@ class ADBlockIntegrator:
 
     def _re_from_g(self, g, s: int, t):
         """Element vectors [ne, nd, vdim] from weighted per-qp gradients."""
+        ne = g.shape[0]
+        o = self.x_off[s]
+        if "R0" in t:
+            v, nd, sd = self.vdim[s], self.nd[s], self.sd[s]
+            nq = g.shape[1]
+            gseg = g[..., o : o + self.widths[s]].reshape(ne, nq, v, sd)
+            gp = gseg.transpose(0, 2, 1, 3).reshape(ne * v, nq * sd)
+            re = gp @ t["R0"][s]  # [ne*v, nd] — one GEMM
+            return re.reshape(ne, v, nd).transpose(0, 2, 1)
         if "R" in t:
-            ne = g.shape[0]
-            o = self.x_off[s]
             gf = g[..., o : o + self.widths[s]].reshape(ne, -1)  # [ne, nq*w]
             re = gf @ t["R"][s]  # [ne, nde] — one GEMM
             return re.reshape(ne, self.vdim[s], self.nd[s]).transpose(0, 2, 1)
@@ -636,7 +728,14 @@ class ADBlockIntegrator:
                 ne, nq, self.vdim[s], self.sd[s], self.vdim[s], self.sd[s]
             )
             Hvv = jnp.diagonal(H6, axis1=2, axis2=4)  # [ne,nq,sd,sd,vdim]
-            D = _diag_from_h(t["B"][s], Hvv)
+            if "D0" in t:
+                v, nd, sd = self.vdim[s], self.nd[s], self.sd[s]
+                Hp = Hvv.transpose(0, 4, 1, 2, 3).reshape(
+                    ne * v, nq * sd * sd
+                )
+                D = (Hp @ t["D0"][s]).reshape(ne, v, nd).transpose(0, 2, 1)
+            else:
+                D = _diag_from_h(t["B"][s], Hvv)
             out.append(self.scatter(s, D, t, fast))
         return out
 
@@ -681,11 +780,28 @@ class ADBlockIntegrator:
         nde_t = self.vdim[t_] * self.nd[t_]
         blk = Hq[..., os_ : os_ + self.widths[s], ot : ot + self.widths[t_]]
         key = f"{s}_{t_}"
-        if key in t.get("W", {}):
+        if key in t.get("W0", {}):
+            # Blocked-W GEMM: vdim_s*vdim_t fewer FLOPs than the full
+            # Bf (x) Bf contraction (the vdim axes become GEMM rows).
             # HIGH (bf16x3, ~1e-6 rel) suffices for assembled Jacobians:
             # Newton accuracy is set by the residual path (kept at the
             # session default, HIGHEST), and inexact Jacobians only affect
             # the convergence rate.  f64 inputs ignore this hint.
+            vs, vt = self.vdim[s], self.vdim[t_]
+            sds, sdt = self.sd[s], self.sd[t_]
+            H6 = blk.reshape(ne, nq, vs, sds, vt, sdt)
+            Hp = H6.transpose(0, 2, 4, 1, 3, 5).reshape(
+                ne * vs * vt, nq * sds * sdt
+            )
+            A = jnp.einsum(
+                "ek,kj->ej", Hp, t["W0"][key],
+                precision=jax.lax.Precision.HIGH,
+            )
+            A = A.reshape(ne, vs, vt, self.nd[s], self.nd[t_])
+            # byNODES flat layout: row (v, i) -> v*nd_s + i
+            A = A.transpose(0, 1, 3, 2, 4)
+            return A.reshape(ne, nde_s, nde_t)
+        if key in t.get("W", {}):
             A = jnp.einsum(
                 "ek,kj->ej", blk.reshape(ne, -1), t["W"][key],
                 precision=jax.lax.Precision.HIGH,
@@ -750,7 +866,7 @@ class ADBlockIntegrator:
                 k: (padel(ed), phi) for k, (ed, phi) in t["field"].items()
             },
         }
-        for k in ("R", "W"):  # shared matmul factors: replicate as-is
+        for k in ("R", "R0", "D0", "W", "W0"):  # shared: replicate as-is
             if k in t:
                 out[k] = t[k]
         return out

@@ -65,3 +65,57 @@ def test_fast_gather_scatter_matches_generic(order, fe_type, vdim, dim):
     lhs = float(jnp.sum(jnp.asarray(g_fast) * re))
     rhs = float(jnp.dot(u, jnp.asarray(s_fast)))
     assert np.isclose(lhs, rhs, rtol=1e-12)
+
+
+@pytest.mark.parametrize("dim,vdim", [(2, 2), (3, 3), (2, 1)])
+def test_blocked_factors_match_einsum_route(dim, vdim):
+    """R0/W0/D0 blocked-GEMM contractions == the direct B-einsum route.
+
+    The blocked factors exploit the vdim block-diagonal structure of the
+    stacked shape matrix (vdim_s*vdim_t fewer FLOPs); they must reproduce
+    the reference contraction (ad_intg.hpp:260-334) exactly."""
+    from mfem_ad_tpu.ad import NeoHookeanEnergy
+
+    m = M.make_cartesian_2d(3, 2) if dim == 2 else M.make_cartesian_3d(
+        2, 2, 2
+    )
+    sp = FESpace(m, 2, H1, vdim=vdim)
+    mode = ADEval.GRAD | (ADEval.VECTOR if vdim > 1 else ADEval(0))
+    energy = (
+        NeoHookeanEnergy(dim, 1.0, 1.0) if vdim > 1 else MassEnergy(dim)
+    )
+    if vdim == 1:
+        from mfem_ad_tpu.ad import DiffusionEnergy
+
+        energy = DiffusionEnergy(dim)
+    intg = ADBlockIntegrator(energy, [sp], [mode])
+    t = intg.tables
+    # routing is shape-dependent (padded-MXU cost model); whatever factor
+    # set was installed must reproduce the plain einsum route exactly
+    assert "R" in t and "D0" in t
+
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(0.02 * rng.standard_normal(sp.ndof))
+
+    # strip the blocked + full factors to force the einsum route
+    t_plain = {k: v for k, v in t.items()
+               if k not in ("R", "R0", "W", "W0", "D0")}
+
+    r_blk = [np.asarray(r) for r in intg.residual([u], tables=t)]
+    r_ein = [np.asarray(r) for r in intg.residual([u], tables=t_plain)]
+    for a, b in zip(r_blk, r_ein):
+        assert np.allclose(a, b, atol=1e-12)
+
+    Hq = intg.hess_state([u], tables=t)
+    A_blk = np.asarray(intg.element_matrices(Hq, 0, 0, tables=t))
+    A_ein = np.asarray(intg.element_matrices(Hq, 0, 0, tables=t_plain))
+    assert np.allclose(A_blk, A_ein, atol=1e-11)
+
+    d_blk = [np.asarray(d) for d in intg.diagonal(Hq, tables=t)]
+    d_ein = [np.asarray(d) for d in intg.diagonal(Hq, tables=t_plain)]
+    for a, b in zip(d_blk, d_ein):
+        assert np.allclose(a, b, atol=1e-12)
+
+    x_blk = np.asarray(intg.x_qp([u], tables=t))
+    x_ein = np.asarray(intg.x_qp([u], tables=t_plain))
+    assert np.allclose(x_blk, x_ein, atol=1e-13)
