@@ -119,3 +119,29 @@ def test_blocked_factors_match_einsum_route(dim, vdim):
     x_blk = np.asarray(intg.x_qp([u], tables=t))
     x_ein = np.asarray(intg.x_qp([u], tables=t_plain))
     assert np.allclose(x_blk, x_ein, atol=1e-13)
+
+
+def test_blocked_factor_routing_cost_model():
+    """The padded-MXU cost model must keep the full-W GEMM at the headline
+    Q1/2D/vdim=2 config (measured 1.65x faster there) and switch to the
+    blocked W0 factor where K/N fill MXU tiles (p2+/vector or 3D)."""
+    from mfem_ad_tpu.ad import NeoHookeanEnergy
+
+    # headline config: tiny K/N -> full W, no W0, no R0
+    m2 = M.make_cartesian_2d(3, 2)
+    i_head = ADBlockIntegrator(
+        NeoHookeanEnergy(2, 1.0, 1.0), [FESpace(m2, 1, H1, vdim=2)],
+        [ADEval.GRAD | ADEval.VECTOR],
+    )
+    assert "0_0" in i_head.tables["W"]
+    assert "0_0" not in i_head.tables["W0"]
+    assert "R0" not in i_head.tables
+
+    # p2/3D vector: full W exceeds its cap; blocked W0 must exist
+    m3 = M.make_cartesian_3d(2, 2, 2)
+    i_3d = ADBlockIntegrator(
+        NeoHookeanEnergy(3, 1.0, 1.0), [FESpace(m3, 2, H1, vdim=3)],
+        [ADEval.GRAD | ADEval.VECTOR],
+    )
+    assert "0_0" not in i_3d.tables["W"]
+    assert "0_0" in i_3d.tables["W0"]
