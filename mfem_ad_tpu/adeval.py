@@ -61,10 +61,17 @@ def shapedim(mode: ADEval, sdim: int) -> int:
     if mode & ADEval.DIV:
         n += 1
     if mode & ADEval.CURL:
-        raise NotImplementedError(
-            "CURL requires vector finite elements (VECFE), which the "
-            "reference marks not-yet-implemented (_ad_intg.hpp:49)"
-        )
+        # 2D scalar-FE curl = the rotated gradient (d/dy, -d/dx) — MFEM's
+        # FiniteElement::CalcCurlShape semantics for 2D scalar elements.
+        # (3D curl needs Nedelec vector FE: VECFE, which the reference
+        # marks not-yet-implemented, _ad_intg.hpp:49 — a gap kept here.)
+        if sdim != 2:
+            raise NotImplementedError(
+                "CURL of a scalar FE is 2D-only (3D curl requires vector "
+                "finite elements, VECFE — not-yet-implemented in the "
+                "reference either, _ad_intg.hpp:49)"
+            )
+        n += 2
     return n
 
 
@@ -104,7 +111,7 @@ def build_B(
         eye = np.eye(nq)
         B[:, :, :, col] = eye[None, :, :]
         col += 1
-    need_grad = bool(mode & (ADEval.GRAD | ADEval.DIV))
+    need_grad = bool(mode & (ADEval.GRAD | ADEval.DIV | ADEval.CURL))
     if mode & ADEval.VALUE:
         phi = space.elem.eval(ir.points)  # [nq, nd]
         B[:, :, :, col] = phi[None, :, :]
@@ -118,5 +125,10 @@ def build_B(
         # row sums of the gradient shape (reference ad_intg.hpp:140-150)
         B[:, :, :, col] = G.sum(axis=-1)
         col += 1
+    if mode & ADEval.CURL:
+        # rotated gradient (d phi/dy, -d phi/dx): 2D CalcPhysCurlShape
+        B[:, :, :, col] = G[..., 1]
+        B[:, :, :, col + 1] = -G[..., 0]
+        col += 2
     assert col == sd
     return B

@@ -188,3 +188,45 @@ def test_vector_space_essential_mask():
     assert mask.sum() == 2 * 3  # 3 bottom nodes x 2 components
     mask0 = fes.essential_mask([1, 0, 0, 0], components=[0])
     assert mask0.sum() == 3
+
+
+def test_curl_mode_2d_rotated_gradient():
+    """ADEval.CURL (2D scalar FE): curl psi = rotated grad psi, so the
+    1/2|curl psi|^2 energy must assemble identically to 1/2|grad psi|^2
+    (rotation preserves the norm) — residuals AND element Jacobians.
+
+    Superset of the reference, where CURL is declared but unusable
+    (VECFE not-yet-implemented, _ad_intg.hpp:49)."""
+    import jax.numpy as jnp
+
+    from mfem_ad_tpu.ad import DiffusionEnergy, MassEnergy
+    from mfem_ad_tpu.adeval import ADEval, build_B, shapedim
+    from mfem_ad_tpu.integrator import ADBlockIntegrator
+
+    m = mesh.make_cartesian_2d(3, 2)
+    sp = fespace.FESpace(m, 2)
+    assert shapedim(ADEval.CURL, 2) == 2
+
+    i_curl = ADBlockIntegrator(MassEnergy(2), [sp], [ADEval.CURL])
+    i_grad = ADBlockIntegrator(DiffusionEnergy(2), [sp], [ADEval.GRAD])
+
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal(sp.ndof))
+    (r_c,) = i_curl.residual([u])
+    (r_g,) = i_grad.residual([u])
+    assert np.allclose(np.asarray(r_c), np.asarray(r_g), atol=1e-12)
+
+    A_c = np.asarray(i_curl.element_jacobians([u]))
+    A_g = np.asarray(i_grad.element_jacobians([u]))
+    assert np.allclose(A_c, A_g, atol=1e-12)
+
+    # pointwise orthogonality: curl psi . grad psi == 0 at every qp
+    xq_c = np.asarray(i_curl.x_qp([u]))
+    xq_g = np.asarray(i_grad.x_qp([u]))
+    assert np.allclose((xq_c * xq_g).sum(-1), 0.0, atol=1e-12)
+
+    # 3D stays a loud error (parity with the reference's VECFE gap)
+    m3 = mesh.make_cartesian_3d(2, 2, 2)
+    sp3 = fespace.FESpace(m3, 1)
+    with pytest.raises(NotImplementedError):
+        ADBlockIntegrator(MassEnergy(3), [sp3], [ADEval.CURL])
