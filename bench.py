@@ -233,8 +233,15 @@ def sweep():
                     )
                     break
                 except Exception as e:  # OOM on small-HBM chips: halve n
-                    print(f"p={order}/{dim}D n={n} failed ({type(e).__name__})"
-                          f"; retrying at n={n // 2}",
+                    msg = f"{type(e).__name__}: {e}"
+                    oom = ("RESOURCE_EXHAUSTED" in msg or "Out of memory"
+                           in msg or isinstance(e, MemoryError))
+                    if not oom:
+                        raise  # a real bug must fail the sweep loudly
+                    retrying = attempt < 2
+                    print(f"p={order}/{dim}D n={n} OOM"
+                          + (f"; retrying at n={n // 2}" if retrying
+                             else "; giving up — CONFIG DROPPED"),
                           file=sys.stderr, flush=True)
                     n //= 2
             else:

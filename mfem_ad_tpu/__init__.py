@@ -28,6 +28,7 @@ MPI/hypre  ``parallel``                            shard_map + psum
 """
 
 import os
+import tempfile
 
 # Finite elements need f64 for the reference's 1e-8..1e-10 tolerances
 # (ex2.cpp:83, ex4.cpp:172).  Opt out with MFEM_AD_TPU_NO_X64=1 — the
@@ -57,10 +58,16 @@ if not os.environ.get("MFEM_AD_TPU_NO_COMPILE_CACHE"):
     import jax
 
     if jax.config.jax_compilation_cache_dir is None:
+        # per-user default path: a world-shared /tmp dir breaks (and is a
+        # squatting vector) for the second user on a shared host
+        _uid = getattr(os, "getuid", lambda: 0)()
         jax.config.update(
             "jax_compilation_cache_dir",
             os.environ.get(
-                "MFEM_AD_TPU_COMPILE_CACHE", "/tmp/mfem_ad_tpu_jax_cache"
+                "MFEM_AD_TPU_COMPILE_CACHE",
+                os.path.join(
+                    tempfile.gettempdir(), f"mfem_ad_tpu_jax_cache_{_uid}"
+                ),
             ),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -283,7 +283,7 @@ class FESpace:
             base = gmin[:, 1] * NX + gmin[:, 0]
             stride = np.where(vary_x, 1, NX)
             ids = base[:, None] + stride[:, None] * np.arange(n1)[None, :]
-            return np.unique(ids.ravel())
+            return np.unique(ids.ravel()).astype(np.int64)
         _, nx, ny, nz, p_, NX, NY, NZ = lat
         nvx, nvy = nx + 1, ny + 1
         i = bels % nvx
@@ -306,6 +306,8 @@ class FESpace:
                 + strides[ax2] * box[None, None, :]
             )
             out.append(ids.ravel())
+        if not out:  # attr_mask selected no boundary faces
+            return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(out))
 
     # ------------------------------------------------------------------

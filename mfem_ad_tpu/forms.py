@@ -224,7 +224,17 @@ class LinearForm:
         phi = sp.elem.eval(ir.points)  # [nq, nd]
         mesh = sp.mesh
 
-        if mesh.uniform_jacobian and mesh.num_elements > (1 << 16):
+        from .coefficients import ConstantCoefficient, FunctionCoefficient
+
+        # The chunked path hands the coefficient a chunk-local QPContext,
+        # which is only correct for coefficients that evaluate pointwise
+        # from ctx.xq; element-indexed kinds (QuadratureCoefficient,
+        # field-backed adapters) must see the full-mesh context.
+        pointwise = isinstance(
+            self.coeff, (ConstantCoefficient, FunctionCoefficient)
+        )
+        if (pointwise and mesh.uniform_jacobian
+                and mesh.num_elements > (1 << 16)):
             # Chunked affine fast path for large uniform Cartesian meshes:
             # qp coordinates are origin[e] + (J xi)[q], built per chunk
             # into reused buffers instead of one [ne, nq, dim] array —

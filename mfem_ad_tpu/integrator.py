@@ -518,7 +518,11 @@ class ADBlockIntegrator:
     #                     lax.axis_index; scatter embeds the chunk into the
     #                     full element range and runs the dilated-pad
     #                     scatter — one caller-side psum completes assembly.
-    #                     Requires unpadded tables (ne % K == 0).
+    #                     Pad-tolerant: when ne % K != 0 the gather copy-
+    #                     pads the element range and the scatter trims the
+    #                     tail, so arbitrary element counts keep the
+    #                     band-contiguous slicing (round 3; equality-
+    #                     tested by test_sharded_assembly_nondivisible_*).
     # ------------------------------------------------------------------
     def _gather_any(self, u, meta, vdim, nd, nds, edof, fast):
         if isinstance(fast, tuple):

@@ -244,7 +244,7 @@ def _batched_inv_small(A):
     return M[..., n:]
 
 
-def _primal_Mx(fp, pdata, arrays, lumped: bool):
+def _primal_Mx(fp, pdata, arrays):
     """The S~-block (primal) preconditioner closure from a fused GMG, or
     None.  Returns ``(closure, complete)``: ``complete=True`` means the
     closure IS the primal preconditioner (no additive Jacobi term) — the
@@ -295,7 +295,7 @@ def _schur_solve_traced(form, tables, ess, state, r, tol: float,
     with iteration counts set by the lumping quality rather than by alpha.
     """
     arrays = _schur_arrays(form, tables, ess, state, reg, jacobi, lumped)
-    Mextra = _primal_Mx(fp, pdata, arrays, lumped)
+    Mextra = _primal_Mx(fp, pdata, arrays)
     S, M, Dinv, mv, pad_u, pad_p, n0, n1 = _schur_ops(
         form, tables, ess, state, arrays, lumped, Mextra
     )
@@ -580,7 +580,7 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
         # mid-alpha active-set transition — measured 13k CG its at
         # alpha=1.6, ex4/ref-3 defaults on the v5e, vs ~10^2 shifted).
         if arrays is not None:
-            return _primal_Mx(fp, pdata, arrays, lumped)
+            return _primal_Mx(fp, pdata, arrays)
         if fp is not None and hasattr(fp, "apply_primal"):
             return (lambda v: fp.apply_primal(pdata, v)), False
         return None
@@ -594,7 +594,7 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
 
     if lumped:
         return _schur_dir_chunked_lumped(
-            form, opts, fp, x, b, fields, pdata, prep_fn, mx_of, K
+            form, opts, fp, x, b, fields, pdata, prep_fn, K
         )
 
     def init_fn(tables, ess, state, arrays, pdata, rr):
@@ -694,7 +694,9 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
     sp_l = form.spaces[-1]
     vl, nds_l = sp_l.vdim, sp_l.ndof_scalar
     tol = float(opts.lin_tol)
-    budget = int(min(opts.lin_maxiter, 128))
+    budget = int(opts.lin_maxiter)  # honored in full; each outer
+    # iteration is one bounded watchdog-safe execution, so any budget
+    # is tunnel-legal (measured: 8-15 iterations suffice at every alpha)
     m = min(32, budget)  # restart length
     # alpha-scaled system: the raw PG Jacobian's latent rows/cols carry a
     # 1/alpha weight, so at alpha=1e6 a saddle-residual tol of 1e-8 still
@@ -831,7 +833,7 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
 
 
 def _schur_dir_chunked_lumped(form, opts, fp, x, b, fields, pdata,
-                              prep_fn, mx_of, K: int):
+                              prep_fn, K: int):
     """Direction solve for non-L2 (lumped) latents — ex5's H1^dim
     Hellinger latent (ex5.cpp:114-140).
 
@@ -861,12 +863,10 @@ def _schur_dir_chunked_lumped(form, opts, fp, x, b, fields, pdata,
     def ops_of(tables, ess, state, arrays, pdata):
         S, M, Dinv, mv, pad_u, pad_p, n0, _ = _schur_ops(
             form, tables, ess, state, arrays, True,
-            _primal_Mx(fp, pdata, arrays, True),
+            _primal_Mx(fp, pdata, arrays),
         )
-        if fp is not None:
-            Mu = M
-        else:
-            Mu = lambda rr_u: cg(S, rr_u, M=M, tol=1e-8, maxiter=200)  # noqa: E731
+        # fp is None here (the fp path returned into _ldu_fgmres above)
+        Mu = lambda rr_u: cg(S, rr_u, M=M, tol=1e-8, maxiter=200)  # noqa: E731
 
         def Mblock(rr):
             return jnp.concatenate([Mu(rr[:n0]), Dinv(rr[n0:])])
@@ -979,6 +979,10 @@ class NewtonOptions:
     lin_chunk: object = 64
     preconditioner: object = None  # None | "jacobi" | callable(form,state)->M
     verbose: bool = False
+    # consecutive <5% residual reductions before Newton gives up as
+    # floored (see the stagnation break in newton()); None disables, so
+    # slow-but-steady runs grind to abs_tol within max_iter as before
+    stall_iters: object = 2
 
 
 @dataclass
@@ -1161,7 +1165,7 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
         # non-converged and let the caller (PGSolver.newton_accept)
         # decide.
         stalled = stalled + 1 if it > 0 and norm > 0.95 * hist[-2] else 0
-        if stalled >= 2:
+        if opts.stall_iters is not None and stalled >= opts.stall_iters:
             break
         if chunked:
             c, li = _schur_dir_chunked(form, opts, fp, x, b, fields, pdata)

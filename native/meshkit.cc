@@ -15,7 +15,10 @@
 #include <cstring>
 #include <vector>
 
-#ifdef _OPENMP
+// <parallel/algorithm> is a libstdc++-only extension: clang with libc++
+// defines _OPENMP under -fopenmp but has no such header, so gate on the
+// standard library, not the OpenMP flag.
+#if defined(_OPENMP) && defined(__GLIBCXX__)
 #include <parallel/algorithm>
 #define MK_SORT __gnu_parallel::sort
 #else

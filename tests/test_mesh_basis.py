@@ -230,3 +230,16 @@ def test_curl_mode_2d_rotated_gradient():
     sp3 = fespace.FESpace(m3, 1)
     with pytest.raises(NotImplementedError):
         ADBlockIntegrator(MassEnergy(3), [sp3], [ADEval.CURL])
+
+
+def test_boundary_dofs_empty_attr_mask():
+    """An attr_mask selecting no boundary faces must yield an empty dof
+    array, not crash (3D structured-lattice path regression: empty
+    np.concatenate)."""
+    m3 = mesh.make_cartesian_3d(2, 2, 2)
+    sp3 = fespace.FESpace(m3, 2)
+    out = sp3.boundary_dofs(np.zeros(6))
+    assert out.shape == (0,)
+    m2 = mesh.make_cartesian_2d(2, 2)
+    sp2 = fespace.FESpace(m2, 2)
+    assert sp2.boundary_dofs(np.zeros(4)).shape == (0,)

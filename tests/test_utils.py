@@ -121,3 +121,32 @@ def test_project_bdr_vectorized_matches_pointwise():
         ref[i] = v[0]
         ref[i + spv.ndof_scalar] = v[1]
     np.testing.assert_allclose(got, ref, atol=1e-14)
+
+
+def test_linearform_quadrature_coefficient_large_uniform_mesh():
+    """Element-indexed coefficients must bypass the chunked pointwise
+    fast path (which hands coefficients a chunk-local context): a
+    QuadratureCoefficient on a >2^16-element uniform mesh must assemble
+    identically to the einsum reference."""
+    import numpy as np
+
+    from mfem_ad_tpu import fespace, mesh
+    from mfem_ad_tpu.coefficients import QuadratureCoefficient
+    from mfem_ad_tpu.forms import LinearForm
+    from mfem_ad_tpu.geometry import geom_factors
+    from mfem_ad_tpu.quadrature import get_rule
+
+    m = mesh.make_cartesian_2d(300, 240)  # 72000 > 65536 elements
+    sp = fespace.FESpace(m, 1)
+    ir = get_rule(m.geom, 4)
+    rng = np.random.default_rng(5)
+    vals = rng.standard_normal((m.num_elements, ir.npoints, 1))
+    lf = LinearForm(sp, QuadratureCoefficient(vals), ir_order=4)
+    b = lf.assemble()
+
+    gf = geom_factors(m, ir)
+    phi = sp.elem.eval(ir.points)
+    be = np.einsum("qd,eqv,eq->edv", phi, vals, gf.w)
+    ref = np.zeros(sp.ndof)
+    np.add.at(ref, np.asarray(sp.edof), be[..., 0])
+    assert np.allclose(b, ref, atol=1e-12)
