@@ -81,8 +81,14 @@ def _build(order: int, dim: int, n: int):
         dtype=jnp.float32,
     )
     rng = np.random.default_rng(0)
-    # small displacements keep det(F) > 0 (valid neo-Hookean state)
-    u = jnp.asarray(0.02 * rng.standard_normal(fes.ndof), dtype=jnp.float32)
+    # Displacements scaled by the element size h = 1/n keep the gradient
+    # (and hence det F = det(I + grad u)) O(1)-perturbed at every mesh
+    # size, so the neo-Hookean state is valid (no log(det<=0) NaNs) —
+    # a fixed nodal amplitude gives grad ~ amp/h >> 1 on fine meshes.
+    # Timing is NaN-insensitive on TPU, but the state should be physical.
+    u = jnp.asarray(
+        (0.2 / n) * rng.standard_normal(fes.ndof), dtype=jnp.float32
+    )
     return m, fes, intg, u
 
 

@@ -18,6 +18,7 @@ converge on ||r|| <= max(rel_tol*||r0||, abs_tol).
 from __future__ import annotations
 
 import os as _os
+import time as _time
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -772,8 +773,11 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
     mvj = form._jit(kb + ("mv",), mvs_fn)
 
     alpha_j = jnp.asarray(alpha_f)
+    _dbg = _os.environ.get("MFEM_AD_TPU_LDU_DEBUG")
+    _t0 = _time.perf_counter()
     r0, state, arrays = prep(tables, ess, x, b, fields)
     r0 = np.array(r0)
+    _t_prep, _t_step, _t_rest = _time.perf_counter() - _t0, 0.0, 0.0
     r0[n0:] *= alpha_f  # scaled rhs Lam r
     beta0 = float(np.linalg.norm(r0))
     dx = np.zeros_like(r0)
@@ -796,10 +800,12 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
         j_done = 0
         y = None
         for j in range(m):
+            _t0 = _time.perf_counter()
             z, w = step(tables, ess, state, arrays, pdata, alpha_j,
                         jnp.asarray(V[j]))
             Z[j] = np.asarray(z)
             w = np.array(w)
+            _t_step += _time.perf_counter() - _t0
             h = V[: j + 1] @ w
             w -= h @ V[: j + 1]
             h2 = V[: j + 1] @ w  # CGS2: re-orthogonalize (classical
@@ -817,17 +823,21 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
                 break
             V[j + 1] = w / H[j + 1, j]
         dx = dx + y @ Z[:j_done]
+        _t0 = _time.perf_counter()
         r_cur = r0 - np.asarray(
             mvj(tables, ess, state, alpha_j, jnp.asarray(dx))
         )
+        _t_rest += _time.perf_counter() - _t0
         rel = float(np.linalg.norm(r_cur)) / beta0
         if rel <= tol or rel > 0.95 * rel_prev:
             break  # converged, or the restart made <5% progress
         rel_prev = rel
-    if _os.environ.get("MFEM_AD_TPU_LDU_DEBUG"):
+    if _dbg:
         rel_f = float(np.linalg.norm(r_cur)) / beta0
         print(f"    [ldu] beta0={beta0:.3e} rel={rel_f:.3e} its={total} "
-              f"alpha={alpha_f:.3g}", flush=True)
+              f"alpha={alpha_f:.3g} prep={_t_prep:.2f}s "
+              f"steps={_t_step:.2f}s ({_t_step/max(total,1)*1e3:.0f} "
+              f"ms/it) restart_mv={_t_rest:.2f}s", flush=True)
     dx[n0:] *= alpha_f  # unscale: the direction is Lam zhat
     return jnp.asarray(dx), total
 
