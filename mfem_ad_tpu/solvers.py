@@ -663,6 +663,140 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
     return dx, lin_its
 
 
+def _sigma_direct_enabled(form, opts, fp, nl: int) -> bool:
+    """Gate for the direct (dense-factorized) dual-Schur preconditioner.
+
+    On by default ("auto") up to a latent-size cap: the scaled dual Schur
+    complement Sigma = alpha^2 D + alpha^2 C^T V_A C is the 93-CG-it
+    bottleneck of the LDU direction (measured at the converged ex5 ref-2
+    state: node-block-preconditioned kappa = 2.3e4 with >500 eigenvalues
+    below 1e-2 lambda_max — a smeared continuum no coarse correction or
+    deflation can capture; a Galerkin two-level cut kappa only 22.8k ->
+    19.5k).  A dense inverse is the TPU-honest fix at example scales —
+    the reference solves the WHOLE saddle with a direct method (MUMPS,
+    tools.hpp:128-154); we factor only the latent Schur block (4x fewer
+    rows) and keep everything else matrix-free.  Above the cap the
+    node-block-CG path remains (O(n) memory)."""
+    if not getattr(opts, "sigma_direct", "auto"):
+        return False
+    if hasattr(form, "schur_arrays_raw"):  # sharded: element axis is
+        return False  # distributed; the dense build is a serial-form tool
+    if fp is None or not hasattr(fp, "apply_primal"):
+        return False
+    cap = int(_os.environ.get("MFEM_AD_TPU_SIGMA_DIRECT_MAX", "16384"))
+    return nl <= cap
+
+
+def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
+                         n0: int, nl: int):
+    """Build/refresh the dense inverse of the scaled dual Schur complement
+    Sigma(alpha) = alpha^2 D + K,  K = (alpha C)^T V_A (alpha C),
+    cached on ``fp`` (which persists across the PG outer loop).
+
+    The split is the whole trick: K is alpha- AND state-invariant for
+    LVPP functionals with linear primal-latent coupling (C is exactly
+    (1/alpha) x a constant mixed mass, pg.hpp:193-213, and V_A's GMG
+    hierarchy is frozen), so the nl matvec-built columns are paid ONCE
+    per run; each refresh only re-assembles the element-local weighted
+    latent mass alpha^2 D (E*'' at the current psi) and re-inverts on the
+    host.  Invariance is spot-checked numerically at every refresh (one
+    fresh column vs the cache); a drift > 1e-8 demotes K to
+    rebuild-on-refresh, so nonlinear couplings stay correct, just slower.
+
+    Refresh policy: alpha changed, or the previous direction's outer
+    FGMRES count exceeded 12 (staleness signal — the Sigma-CG wrapped
+    around this preconditioner keeps every direction CORRECT regardless;
+    only the iteration counts drift)."""
+    cache = getattr(fp, "_sigma_cache", None)
+    if cache is None or cache.get("nl") != nl:
+        cache = fp._sigma_cache = {"nl": nl}
+
+    def kcols_fn(tables, ess, state, pdata, alpha, Vblk):
+        def one(w):
+            t2 = form.grad_mult_raw(
+                tables, ess, state,
+                jnp.concatenate([jnp.zeros(n0, w.dtype), w]))
+            z = fp.apply_primal(pdata, t2[:n0])
+            t3 = form.grad_mult_raw(
+                tables, ess, state,
+                jnp.concatenate([z, jnp.zeros(nl, w.dtype)]))
+            return (alpha * alpha) * t3[n0:]
+        return jax.vmap(one)(Vblk)
+
+    def de_fn(tables, state):
+        lb = len(form.offsets) - 2
+        intg = form.integrators[0]
+        return -intg.element_matrices(state[0], lb, lb, tables=tables[0])
+
+    alpha_j = jnp.asarray(alpha_f)
+    if "gi" not in cache:
+        lb = len(form.offsets) - 2
+        sp_l = form.spaces[lb]
+        edof_l = np.asarray(form.integrators[0].tables["edof"][lb])
+        idx = edof_l[:, :, None] + np.arange(sp_l.vdim) * sp_l.ndof_scalar
+        # byNODES element layout: flat (v, d) = v*nd + d
+        cache["gi"] = np.transpose(idx, (0, 2, 1)).reshape(idx.shape[0], -1)
+
+    def build_K():
+        ne, nq, n = state[0].shape[:3]
+        bs = int(np.clip(4e7 // max(int(ne) * int(nq) * int(n), 1), 8, 128))
+        kj = form._jit(("sigma_kcols", bs), kcols_fn)
+        cols = []
+        eye = np.eye(nl)
+        for i in range(0, nl, bs):
+            blk = eye[i:i + bs]
+            if blk.shape[0] < bs:  # keep one compiled shape
+                blk = np.concatenate(
+                    [blk, np.zeros((bs - blk.shape[0], nl))])
+            cols.append(np.asarray(
+                kj(tables, ess, state, pdata, alpha_j, jnp.asarray(blk))))
+        K = np.concatenate(cols, axis=0)[:nl].T
+        return 0.5 * (K + K.T)
+
+    if "K" not in cache:
+        cache["K"] = build_K()
+        cache["k_dynamic"] = False
+    refresh = (
+        "Sinv" not in cache
+        or cache.get("alpha") != alpha_f
+        or cache.get("outer_prev", 0) > 12
+    )
+    if refresh:
+        if cache["k_dynamic"]:
+            cache["K"] = build_K()
+        else:
+            # spot-check K invariance: one fresh column vs the cache
+            j = nl // 2
+            ej = np.zeros(nl)
+            ej[j] = 1.0
+            k1 = form._jit(("sigma_kcols", 1), kcols_fn)
+            col = np.asarray(k1(tables, ess, state, pdata, alpha_j,
+                                jnp.asarray(ej[None, :])))[0]
+            ref = cache["K"][:, j]
+            den = max(float(np.linalg.norm(ref)), 1e-30)
+            if float(np.linalg.norm(col - ref)) > 1e-8 * den:
+                cache["k_dynamic"] = True
+                cache["K"] = build_K()
+        dej = form._jit(("sigma_de",), de_fn)
+        De = np.asarray(dej(tables, state))
+        gi = cache["gi"]
+        S = np.zeros((nl, nl))
+        np.add.at(S, (gi[:, :, None], gi[:, None, :]), De)
+        S *= alpha_f * alpha_f
+        S += cache["K"]
+        le = np.asarray(ess)[n0:]
+        if le.any():  # grad_mult_raw treats essential dofs as identity
+            S[le, :] = 0.0
+            S[:, le] = 0.0
+            S[le, le] = 1.0
+        S = 0.5 * (S + S.T)
+        S[np.diag_indices_from(S)] += 1e-14 * float(
+            np.abs(np.diag(S)).max())
+        cache["Sinv"] = jnp.asarray(np.linalg.inv(S))
+        cache["alpha"] = alpha_f
+    return cache
+
+
 def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
     """Flexible GMRES on the saddle Jacobian J = [[A, C], [C^T, -D]] with
     the inexact block-LDU preconditioner
@@ -709,8 +843,10 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
     # every block O(1) and the residual tolerance measure lambda-accuracy
     # directly; dpsi = alpha * zhat_p.
     alpha_f = float(fields.get("alpha", 1.0)) if fields else 1.0
+    nl = form.ndof - n0
+    use_direct = _sigma_direct_enabled(form, opts, fp, nl)
 
-    def ops(tables, ess, state, arrays, pdata, alpha):
+    def ops(tables, ess, state, arrays, pdata, alpha, sinv=None):
         def mvraw(v):
             return form.grad_mult_raw(tables, ess, state, v)
 
@@ -723,13 +859,24 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
         def V_A(v):
             return fp.apply_primal(pdata, v)
 
-        Sig_blk_inv = arrays["Sig_blk_inv"]
         a2 = alpha * alpha
 
-        def SigM(w):  # (alpha^2 Sigma)^-1 approx
-            w2 = w.reshape(vl, nds_l)
-            z = jnp.einsum("nvw,wn->vn", Sig_blk_inv, w2).reshape(-1)
-            return z / a2
+        if sinv is not None:
+            # direct mode: dense inverse of the scaled Sigma as the CG
+            # preconditioner — one GEMM; 1-3 its when fresh, self-healing
+            # (more its) when stale.  See _sigma_direct_update.
+            s_max = min(S_MAX, 50)
+
+            def SigM(w):
+                return sinv @ w
+        else:
+            Sig_blk_inv = arrays["Sig_blk_inv"]
+            s_max = S_MAX
+
+            def SigM(w):  # (alpha^2 Sigma)^-1 approx
+                w2 = w.reshape(vl, nds_l)
+                z = jnp.einsum("nvw,wn->vn", Sig_blk_inv, w2).reshape(-1)
+                return z / a2
 
         def pad_u(v):
             return jnp.concatenate([v, jnp.zeros(form.ndof - n0, v.dtype)])
@@ -749,7 +896,7 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
             ru, rp = r[:n0], r[n0:]
             zu1 = Asolve(ru)
             zp = -cg(Sig_mv, rp - alpha * mvraw(pad_u(zu1))[n0:], M=SigM,
-                     tol=S_TOL, maxiter=S_MAX, stall_window=None)
+                     tol=S_TOL, maxiter=s_max, stall_window=None)
             zu = Asolve(ru - alpha * mvraw(pad_p(zp))[:n0])
             return jnp.concatenate([zu, zp])
 
@@ -757,6 +904,11 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
 
     def step_fn(tables, ess, state, arrays, pdata, alpha, v):
         mvfull, M_ldu = ops(tables, ess, state, arrays, pdata, alpha)
+        z = M_ldu(v)
+        return z, mvfull(z)
+
+    def step_fn_direct(tables, ess, state, arrays, pdata, alpha, sinv, v):
+        mvfull, M_ldu = ops(tables, ess, state, arrays, pdata, alpha, sinv)
         z = M_ldu(v)
         return z, mvfull(z)
 
@@ -769,7 +921,8 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
 
     kb = ("schur_ldu", tol, m, A_TOL, S_TOL, id(fp))
     prep = form._jit(kb + ("prep",), prep_fn)
-    step = form._jit(kb + ("step",), step_fn)
+    step = form._jit(kb + ("step", use_direct),
+                     step_fn_direct if use_direct else step_fn)
     mvj = form._jit(kb + ("mv",), mvs_fn)
 
     alpha_j = jnp.asarray(alpha_f)
@@ -777,6 +930,10 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
     _t0 = _time.perf_counter()
     r0, state, arrays = prep(tables, ess, x, b, fields)
     r0 = np.array(r0)
+    sd = None
+    if use_direct:
+        sd = _sigma_direct_update(form, fp, tables, ess, state, pdata,
+                                  alpha_f, n0, nl)
     _t_prep, _t_step, _t_rest = _time.perf_counter() - _t0, 0.0, 0.0
     r0[n0:] *= alpha_f  # scaled rhs Lam r
     beta0 = float(np.linalg.norm(r0))
@@ -801,8 +958,12 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
         y = None
         for j in range(m):
             _t0 = _time.perf_counter()
-            z, w = step(tables, ess, state, arrays, pdata, alpha_j,
-                        jnp.asarray(V[j]))
+            if use_direct:
+                z, w = step(tables, ess, state, arrays, pdata, alpha_j,
+                            sd["Sinv"], jnp.asarray(V[j]))
+            else:
+                z, w = step(tables, ess, state, arrays, pdata, alpha_j,
+                            jnp.asarray(V[j]))
             Z[j] = np.asarray(z)
             w = np.array(w)
             _t_step += _time.perf_counter() - _t0
@@ -837,7 +998,10 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
         print(f"    [ldu] beta0={beta0:.3e} rel={rel_f:.3e} its={total} "
               f"alpha={alpha_f:.3g} prep={_t_prep:.2f}s "
               f"steps={_t_step:.2f}s ({_t_step/max(total,1)*1e3:.0f} "
-              f"ms/it) restart_mv={_t_rest:.2f}s", flush=True)
+              f"ms/it) restart_mv={_t_rest:.2f}s"
+              f"{' [sigma-direct]' if use_direct else ''}", flush=True)
+    if sd is not None:
+        sd["outer_prev"] = total
     dx[n0:] *= alpha_f  # unscale: the direction is Lam zhat
     return jnp.asarray(dx), total
 
@@ -993,6 +1157,10 @@ class NewtonOptions:
     # floored (see the stagnation break in newton()); None disables, so
     # slow-but-steady runs grind to abs_tol within max_iter as before
     stall_iters: object = 2
+    # dense-factorized dual-Schur preconditioner for the LDU-FGMRES
+    # saddle direction ("auto" = on for serial forms up to
+    # MFEM_AD_TPU_SIGMA_DIRECT_MAX latent dofs); see _sigma_direct_enabled
+    sigma_direct: object = "auto"
 
 
 @dataclass

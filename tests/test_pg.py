@@ -333,3 +333,98 @@ def test_pg_checkpoint_resume(tmp_path):
     )
     assert res.converged
     assert np.allclose(np.asarray(res.x), np.asarray(full.x), atol=1e-8)
+
+
+def test_gradient_obstacle_ldu_direction_sigma_direct():
+    """The LDU-FGMRES saddle direction (solvers._ldu_fgmres) must match a
+    dense direction solve at a realistic post-ramp LVPP state — in BOTH
+    Sigma-preconditioner modes: the dense-factorized dual Schur
+    (sigma_direct, the default) and the node-block-CG fallback.  Also
+    locks the K-cache contract: K = (alpha C)^T V_A (alpha C) is alpha-
+    and state-invariant for linear-coupling LVPP functionals, so an alpha
+    change must refresh only the dense inverse, never rebuild K."""
+    from mfem_ad_tpu.models import gradient_obstacle as G
+    from mfem_ad_tpu import solvers as S
+    from mfem_ad_tpu.pg import PGSolver
+    from mfem_ad_tpu.solvers import NewtonOptions
+
+    pb = G.build(2, 1, n0=6)
+    form = pb.form
+    fpw = G._primal_gmg(2, 1, 6).as_preconditioner()
+    fp = fpw.fused_precond
+    pdata = fp.fused_pdata()
+    off = form.offsets
+
+    # realistic state: ramp a small LVPP run into the saturated regime
+    nopts_d = NewtonOptions(abs_tol=1e-11, rel_tol=0.0, max_iter=20,
+                            lin_solver="dense")
+    solver = PGSolver(
+        form, PGStepSizeRule(PGStepSizeRule.EXP, 1.0, 1e4, 2.0, 1.0),
+        latent_block=1, latent_space=pb.latent_space,
+        newton_opts=nopts_d, max_iter=14, tol=0.0,
+    )
+    res = solver.solve(jnp.zeros(form.ndof), pb.rhs)
+    x = jnp.asarray(res.x)
+    alpha = 1e4
+    fields = {"alpha": jnp.asarray(alpha), "latent_k0": x[off[1]:off[2]]}
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(form.ndof)
+    v[np.asarray(form.ess_mask)] = 0.0
+    state = form.grad_state(x, fields)
+    dx_dense = np.linalg.solve(form.assemble_dense(state), v)
+    b = form.mult(x, fields) - jnp.asarray(v)  # prep residual == v
+
+    opts = NewtonOptions(lin_solver="schur", lin_tol=1e-10,
+                         lin_maxiter=200, preconditioner=fpw,
+                         sigma_direct=True)
+    dx1, its1 = S._schur_dir_chunked(form, opts, fp, x, b, fields, pdata)
+    rel1 = np.linalg.norm(np.asarray(dx1) - dx_dense) / np.linalg.norm(
+        dx_dense)
+    assert rel1 < 1e-6, (rel1, its1)
+    cache = fp._sigma_cache
+    assert "K" in cache and not cache["k_dynamic"]
+    k_id = id(cache["K"])
+
+    # alpha change: the dense inverse refreshes, K survives the
+    # invariance spot-check (same array, no rebuild)
+    alpha2 = 2e4
+    fields2 = {"alpha": jnp.asarray(alpha2),
+               "latent_k0": x[off[1]:off[2]]}
+    state2 = form.grad_state(x, fields2)
+    dx_dense2 = np.linalg.solve(form.assemble_dense(state2), v)
+    b2 = form.mult(x, fields2) - jnp.asarray(v)
+    dx2, its2 = S._schur_dir_chunked(form, opts, fp, x, b2, fields2,
+                                     pdata)
+    rel2 = np.linalg.norm(np.asarray(dx2) - dx_dense2) / np.linalg.norm(
+        dx_dense2)
+    assert rel2 < 1e-6, (rel2, its2)
+    assert id(cache["K"]) == k_id and not cache["k_dynamic"]
+    assert cache["alpha"] == alpha2
+
+    # node-block fallback mode agrees too
+    opts_nb = NewtonOptions(lin_solver="schur", lin_tol=1e-10,
+                            lin_maxiter=400, preconditioner=fpw,
+                            sigma_direct=False)
+    dx3, its3 = S._schur_dir_chunked(form, opts_nb, fp, x, b, fields,
+                                     pdata)
+    rel3 = np.linalg.norm(np.asarray(dx3) - dx_dense) / np.linalg.norm(
+        dx_dense)
+    assert rel3 < 1e-6, (rel3, its3)
+
+
+@pytest.mark.slow
+def test_gradient_obstacle_lvpp_schur_gmg_e2e():
+    """ex5 end-to-end on its SHIPPED solver path (schur -> LDU-FGMRES with
+    the direct dual-Schur preconditioner + hp-GMG primal) — previously the
+    LDU path had solve-level coverage only on the real TPU runs."""
+    from mfem_ad_tpu.models import gradient_obstacle
+
+    res, pb = gradient_obstacle.solve(
+        order=2, ref_levels=1,
+        rule_type=PGStepSizeRule.EXP, alpha0=1.0, ratio=2.0,
+        max_alpha=1e6, lin_solver="schur", max_pg_iter=60, tol=1e-6,
+    )
+    assert res.converged, (res.iterations, res.lambda_diff)
+    u = np.asarray(res.x[: pb.primal_space.ndof])
+    assert np.isfinite(u).all()
