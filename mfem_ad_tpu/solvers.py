@@ -703,10 +703,12 @@ def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
     fresh column vs the cache); a drift > 1e-8 demotes K to
     rebuild-on-refresh, so nonlinear couplings stay correct, just slower.
 
-    Refresh policy: alpha changed, or the previous direction's outer
-    FGMRES count exceeded 12 (staleness signal — the Sigma-CG wrapped
-    around this preconditioner keeps every direction CORRECT regardless;
-    only the iteration counts drift)."""
+    Refresh policy (lazy): alpha moved by more than 4x since the factor
+    was built, or the previous direction's outer FGMRES count exceeded 12
+    (staleness signal — the Sigma-CG wrapped around this preconditioner
+    keeps every direction CORRECT regardless; only iteration counts
+    drift).  The inverse itself is computed in f32 on the device (MXU
+    LU), not host f64 LAPACK — see the refresh site."""
     cache = getattr(fp, "_sigma_cache", None)
     if cache is None or cache.get("nl") != nl:
         cache = fp._sigma_cache = {"nl": nl}
@@ -739,7 +741,12 @@ def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
 
     def build_K():
         ne, nq, n = state[0].shape[:3]
-        bs = int(np.clip(4e7 // max(int(ne) * int(nq) * int(n), 1), 8, 128))
+        # bs x (ne nq n) f64 intermediates per vmapped matvec; budget ~3 GB
+        # so the one-time column build is a few large device calls, not
+        # ~nl/8 tunnel-latency-bound small ones (measured: the dominant
+        # cost of the first ex5 ref-3 direction at bs=8)
+        bs = int(np.clip(4e8 // max(int(ne) * int(nq) * int(n), 1), 8, 512))
+        bs = min(bs, nl)
         kj = form._jit(("sigma_kcols", bs), kcols_fn)
         cols = []
         eye = np.eye(nl)
@@ -756,9 +763,20 @@ def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
     if "K" not in cache:
         cache["K"] = build_K()
         cache["k_dynamic"] = False
+    # Lazy refresh: the Sigma-CG wrapped around this preconditioner keeps
+    # every direction correct regardless of staleness, and a factor built
+    # at alpha0 applied at alpha has spectral distortion <= (alpha/alpha0)^2
+    # (S = alpha^2 D + K, only the D part drifts) — CG absorbs kappa<=16 in
+    # a handful of iterations.  So re-invert only every 2 alpha-doublings,
+    # or when the previous direction's outer FGMRES count says the factor
+    # went stale (host inversion is minutes at nl~13k on a 1-core host;
+    # per-alpha refresh was the wall-time bottleneck of ex5 ref-3).
+    a_prev = cache.get("alpha")
+    a_ratio = (max(alpha_f, a_prev) / max(min(alpha_f, a_prev), 1e-300)
+               if a_prev else np.inf)
     refresh = (
         "Sinv" not in cache
-        or cache.get("alpha") != alpha_f
+        or a_ratio > 4.0
         or cache.get("outer_prev", 0) > 12
     )
     if refresh:
@@ -792,7 +810,12 @@ def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
         S = 0.5 * (S + S.T)
         S[np.diag_indices_from(S)] += 1e-14 * float(
             np.abs(np.diag(S)).max())
-        cache["Sinv"] = jnp.asarray(np.linalg.inv(S))
+        # invert in f32 ON DEVICE (MXU LU, seconds at nl~13k, vs minutes
+        # of host f64 LAPACK on a 1-core host).  f32 is plenty for a
+        # preconditioner: kappa(S)~1e4 -> inverse accurate to ~1e-3
+        # relative, and the surrounding CG supplies the remaining digits.
+        cache["Sinv"] = jax.block_until_ready(
+            jnp.linalg.inv(jnp.asarray(S, dtype=jnp.float32)))
         cache["alpha"] = alpha_f
     return cache
 
@@ -867,8 +890,8 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
             # (more its) when stale.  See _sigma_direct_update.
             s_max = min(S_MAX, 50)
 
-            def SigM(w):
-                return sinv @ w
+            def SigM(w):  # f32 MXU GEMM; CG supplies the f64 digits
+                return (sinv @ w.astype(sinv.dtype)).astype(w.dtype)
         else:
             Sig_blk_inv = arrays["Sig_blk_inv"]
             s_max = S_MAX

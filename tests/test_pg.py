@@ -386,8 +386,9 @@ def test_gradient_obstacle_ldu_direction_sigma_direct():
     assert "K" in cache and not cache["k_dynamic"]
     k_id = id(cache["K"])
 
-    # alpha change: the dense inverse refreshes, K survives the
-    # invariance spot-check (same array, no rebuild)
+    # small alpha change (ratio 2 <= 4): lazy policy SKIPS the re-invert
+    # (stale factor absorbed by the Sigma-CG), yet the direction stays
+    # dense-accurate
     alpha2 = 2e4
     fields2 = {"alpha": jnp.asarray(alpha2),
                "latent_k0": x[off[1]:off[2]]}
@@ -400,17 +401,33 @@ def test_gradient_obstacle_ldu_direction_sigma_direct():
         dx_dense2)
     assert rel2 < 1e-6, (rel2, its2)
     assert id(cache["K"]) == k_id and not cache["k_dynamic"]
-    assert cache["alpha"] == alpha2
+    assert cache["alpha"] == alpha  # no refresh at ratio 2
+
+    # large alpha jump (ratio > 4): the factor refreshes, K survives the
+    # invariance spot-check (same array, no rebuild)
+    alpha3 = 4e5
+    fields3 = {"alpha": jnp.asarray(alpha3),
+               "latent_k0": x[off[1]:off[2]]}
+    state3 = form.grad_state(x, fields3)
+    dx_dense3 = np.linalg.solve(form.assemble_dense(state3), v)
+    b3 = form.mult(x, fields3) - jnp.asarray(v)
+    dx3, its3 = S._schur_dir_chunked(form, opts, fp, x, b3, fields3,
+                                     pdata)
+    rel3 = np.linalg.norm(np.asarray(dx3) - dx_dense3) / np.linalg.norm(
+        dx_dense3)
+    assert rel3 < 1e-6, (rel3, its3)
+    assert id(cache["K"]) == k_id and not cache["k_dynamic"]
+    assert cache["alpha"] == alpha3
 
     # node-block fallback mode agrees too
     opts_nb = NewtonOptions(lin_solver="schur", lin_tol=1e-10,
                             lin_maxiter=400, preconditioner=fpw,
                             sigma_direct=False)
-    dx3, its3 = S._schur_dir_chunked(form, opts_nb, fp, x, b, fields,
+    dx4, its4 = S._schur_dir_chunked(form, opts_nb, fp, x, b, fields,
                                      pdata)
-    rel3 = np.linalg.norm(np.asarray(dx3) - dx_dense) / np.linalg.norm(
+    rel4 = np.linalg.norm(np.asarray(dx4) - dx_dense) / np.linalg.norm(
         dx_dense)
-    assert rel3 < 1e-6, (rel3, its3)
+    assert rel4 < 1e-6, (rel4, its4)
 
 
 @pytest.mark.slow
