@@ -741,22 +741,32 @@ def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
 
     def build_K():
         ne, nq, n = state[0].shape[:3]
-        # bs x (ne nq n) f64 intermediates per vmapped matvec; budget ~3 GB
-        # so the one-time column build is a few large device calls, not
+        # bs x (ne nq n) f64 intermediates per vmapped matvec; sized so
+        # the one-time column build is ~nl/128 large device calls, not
         # ~nl/8 tunnel-latency-bound small ones (measured: the dominant
-        # cost of the first ex5 ref-3 direction at bs=8)
-        bs = int(np.clip(4e8 // max(int(ne) * int(nq) * int(n), 1), 8, 512))
+        # cost of the first ex5 ref-3 direction at bs=8).  On a compile
+        # failure (the remote TPU compile helper 500s on very wide
+        # vmapped GMG programs) halve and retry.
+        bs = int(np.clip(4e8 // max(int(ne) * int(nq) * int(n), 1), 8, 128))
         bs = min(bs, nl)
-        kj = form._jit(("sigma_kcols", bs), kcols_fn)
-        cols = []
-        eye = np.eye(nl)
-        for i in range(0, nl, bs):
-            blk = eye[i:i + bs]
-            if blk.shape[0] < bs:  # keep one compiled shape
-                blk = np.concatenate(
-                    [blk, np.zeros((bs - blk.shape[0], nl))])
-            cols.append(np.asarray(
-                kj(tables, ess, state, pdata, alpha_j, jnp.asarray(blk))))
+        while True:
+            try:
+                kj = form._jit(("sigma_kcols", bs), kcols_fn)
+                cols = []
+                eye = np.eye(nl)
+                for i in range(0, nl, bs):
+                    blk = eye[i:i + bs]
+                    if blk.shape[0] < bs:  # keep one compiled shape
+                        blk = np.concatenate(
+                            [blk, np.zeros((bs - blk.shape[0], nl))])
+                    cols.append(np.asarray(
+                        kj(tables, ess, state, pdata, alpha_j,
+                           jnp.asarray(blk))))
+                break
+            except jax.errors.JaxRuntimeError:
+                if bs <= 8:
+                    raise
+                bs //= 2
         K = np.concatenate(cols, axis=0)[:nl].T
         return 0.5 * (K + K.T)
 
@@ -810,12 +820,22 @@ def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
         S = 0.5 * (S + S.T)
         S[np.diag_indices_from(S)] += 1e-14 * float(
             np.abs(np.diag(S)).max())
-        # invert in f32 ON DEVICE (MXU LU, seconds at nl~13k, vs minutes
-        # of host f64 LAPACK on a 1-core host).  f32 is plenty for a
-        # preconditioner: kappa(S)~1e4 -> inverse accurate to ~1e-3
-        # relative, and the surrounding CG supplies the remaining digits.
-        cache["Sinv"] = jax.block_until_ready(
-            jnp.linalg.inv(jnp.asarray(S, dtype=jnp.float32)))
+        # invert in f32 — a preconditioner needs ~3 digits (kappa(S)~1e4
+        # -> inverse accurate to ~1e-3 relative) and the surrounding CG
+        # supplies the rest.  Prefer the device (MXU LU, seconds); libtpu
+        # runs out of scoped vmem on LU panels above ~10k rows (measured
+        # at nl=13122: "Ran out of memory in memory space vmem ...
+        # LuDecompositionBlock"), so fall back to host f32 LAPACK there
+        # (~1 min single-core at 13k — amortized by the lazy refresh).
+        if not cache.get("inv_on_host"):
+            try:
+                cache["Sinv"] = jax.block_until_ready(
+                    jnp.linalg.inv(jnp.asarray(S, dtype=jnp.float32)))
+            except jax.errors.JaxRuntimeError:
+                cache["inv_on_host"] = True
+        if cache.get("inv_on_host"):
+            cache["Sinv"] = jnp.asarray(
+                np.linalg.inv(S.astype(np.float32)))
         cache["alpha"] = alpha_f
     return cache
 
