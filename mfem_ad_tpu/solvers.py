@@ -663,6 +663,54 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
     return dx, lin_its
 
 
+def _inv_f32_accel(S: np.ndarray):
+    """f32 inverse of a symmetric matrix on the accelerator, any size.
+
+    libtpu's LU runs out of scoped vmem above ~10k rows (measured at
+    n=13122: "Ran out of memory in memory space vmem ...
+    LuDecompositionBlock"), so above a leaf size the inverse is built by
+    recursive 2x2 block elimination — pure MXU GEMMs plus leaf LUs:
+
+        inv([[A11, A12], [A12^T, A22]]) = [[X11 + U W^T, -U], [-U^T, XT]]
+        W = X11 A12,  T = A22 - A12^T W,  XT = inv(T),  U = W XT
+
+    Exact for symmetric S with invertible leading blocks (SPD: always).
+    Replaces the round-3 single-core-host LAPACK fallback, which was
+    minutes per refresh at ex5 ref-3 scale (nl=13122); the GEMM route is
+    seconds.  Falls back to host LAPACK if the device fails at the
+    smallest leaf.  Returns a device f32 array, symmetrized.
+    """
+    leaf = int(_os.environ.get("MFEM_AD_TPU_INV_LEAF", "8192"))
+
+    def rec(Sd, leaf):
+        n = Sd.shape[0]
+        if n <= leaf:
+            return jnp.linalg.inv(Sd)
+        h = max(leaf, ((n // 2 + 127) // 128) * 128)
+        if h >= n:
+            h = n // 2
+        A11, A12, A22 = Sd[:h, :h], Sd[:h, h:], Sd[h:, h:]
+        X11 = rec(A11, leaf)
+        W = X11 @ A12
+        XT = rec(A22 - A12.T @ W, leaf)
+        U = W @ XT
+        top = jnp.concatenate([X11 + U @ W.T, -U], axis=1)
+        bot = jnp.concatenate([-U.T, XT], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
+
+    Sd = jnp.asarray(S, dtype=jnp.float32)
+    while True:
+        try:
+            out = jax.block_until_ready(rec(Sd, leaf))
+            return 0.5 * (out + out.T)
+        except jax.errors.JaxRuntimeError:
+            if leaf <= 2048:
+                break
+            leaf //= 2
+    out = np.linalg.inv(np.asarray(S, dtype=np.float32))
+    return jnp.asarray(0.5 * (out + out.T))
+
+
 def _sigma_direct_enabled(form, opts, fp, nl: int) -> bool:
     """Gate for the direct (dense-factorized) dual-Schur preconditioner.
 
@@ -695,20 +743,32 @@ def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
 
     The split is the whole trick: K is alpha- AND state-invariant for
     LVPP functionals with linear primal-latent coupling (C is exactly
-    (1/alpha) x a constant mixed mass, pg.hpp:193-213, and V_A's GMG
-    hierarchy is frozen), so the nl matvec-built columns are paid ONCE
+    (1/alpha) x a constant mixed mass, pg.hpp:193-213), so K is paid ONCE
     per run; each refresh only re-assembles the element-local weighted
-    latent mass alpha^2 D (E*'' at the current psi) and re-inverts on the
-    host.  Invariance is spot-checked numerically at every refresh (one
-    fresh column vs the cache); a drift > 1e-8 demotes K to
+    latent mass alpha^2 D (E*'' at the current psi) and re-inverts.
+    Invariance is spot-checked numerically at every refresh (one fresh
+    raw-Jacobian column vs the cache); drift demotes K to
     rebuild-on-refresh, so nonlinear couplings stay correct, just slower.
+
+    Two K builders (both cached under the same contract):
+    - **gemm** (default when the dense primal block fits): assemble the
+      primal block A and the coupling alpha*C densely (element-local
+      scatter, one pass), invert A in f32 on the MXU
+      (``_inv_f32_accel``), K = (alpha C)^T A^-1 (alpha C) — two GEMMs.
+      This replaces the round-3 column build (nl V-cycle matvecs, ~20
+      min of the first ex5 ref-3 direction) with seconds, and the exact
+      A^-1 is a *better* inner surrogate than one V-cycle.  A^-1 is kept
+      on device and reused inside the LDU apply (see ``ops``).
+    - **matvec** (fallback): nl vmapped columns of (alpha C)^T V_A
+      (alpha C) through the matrix-free Jacobian action and the GMG
+      V-cycle — no dense primal block required.
 
     Refresh policy (lazy): alpha moved by more than 4x since the factor
     was built, or the previous direction's outer FGMRES count exceeded 12
     (staleness signal — the Sigma-CG wrapped around this preconditioner
     keeps every direction CORRECT regardless; only iteration counts
     drift).  The inverse itself is computed in f32 on the device (MXU
-    LU), not host f64 LAPACK — see the refresh site."""
+    GEMMs at any size) — see ``_inv_f32_accel``."""
     cache = getattr(fp, "_sigma_cache", None)
     if cache is None or cache.get("nl") != nl:
         cache = fp._sigma_cache = {"nl": nl}
@@ -770,8 +830,86 @@ def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
         K = np.concatenate(cols, axis=0)[:nl].T
         return 0.5 * (K + K.T)
 
+    ess_np = np.asarray(ess)
+    pe, le = ess_np[:n0], ess_np[n0:]
+
+    def build_AC():
+        """Dense primal block A (essential rows/cols -> identity) and the
+        alpha-invariant coupling alpha*C, assembled element-locally —
+        matches grad_mult_raw's eliminated-BC convention."""
+        lb = len(form.spaces) - 1
+        offs = np.asarray(form.offsets)
+        A = np.zeros((n0, n0), np.float32)
+        Cm = np.zeros((n0, nl), np.float32)
+        for intg, Hq in zip(form.integrators, state):
+            for s_ in range(lb):
+                r0_, r1_ = offs[s_], offs[s_ + 1]
+                for t_ in range(lb):
+                    A[r0_:r1_, offs[t_]:offs[t_ + 1]] += (
+                        intg.assemble_dense_block(Hq, s_, t_))
+                Cm[r0_:r1_, :] += intg.assemble_dense_block(Hq, s_, lb)
+        A[pe, :] = 0.0
+        A[:, pe] = 0.0
+        A[pe, pe] = 1.0
+        Cm[pe, :] = 0.0
+        Cm[:, le] = 0.0
+        return A, Cm * np.float32(alpha_f)
+
+    def build_K_gemm():
+        A, Ca = build_AC()
+        Ainv = _inv_f32_accel(A)
+        # invariance witness: one raw-Jacobian column (A[:,j], alpha*C[j,:])
+        j = int(np.argmax(~pe))  # first non-essential primal dof
+        cache["chk"] = (j, A[:, j].copy(), Ca[j, :].copy())
+        del A
+        Ca_d = jnp.asarray(Ca)
+        K = np.asarray(Ca_d.T @ (Ainv @ Ca_d), dtype=np.float64)
+        cache["Ainv"] = Ainv
+        return 0.5 * (K + K.T)
+
+    def gemm_ok():
+        if _os.environ.get("MFEM_AD_TPU_SIGMA_GEMM", "1") == "0":
+            return False
+        if not all(hasattr(i, "assemble_dense_block")
+                   for i in form.integrators):
+            return False
+        # device-memory estimate: A + A^-1 + alpha*C + one GEMM temp (f32)
+        budget = float(_os.environ.get(
+            "MFEM_AD_TPU_SIGMA_GEMM_BYTES", "10e9"))
+        return 4.0 * (2.0 * n0 * n0 + 2.0 * n0 * nl) < budget
+
+    def check_drift():
+        """One grad_mult_raw column vs the cached witness; returns True
+        when the dense A/C snapshot no longer matches the live Jacobian
+        (nonlinear primal energy or coupling)."""
+        if cache.get("mode") == "gemm":
+            j, colA, colC = cache["chk"]
+            ej = np.zeros(form.ndof)
+            ej[j] = 1.0
+            k1 = form._jit(("sigma_rawcol",), lambda t, e, s, v:
+                           form.grad_mult_raw(t, e, s, v))
+            col = np.asarray(k1(tables, ess, state, jnp.asarray(ej)))
+            dA = np.linalg.norm(col[:n0] - colA)
+            dC = np.linalg.norm(alpha_f * col[n0:] - colC)
+            den = max(float(np.linalg.norm(colA)),
+                      float(np.linalg.norm(colC)), 1e-30)
+            # 1e-5: above the f32 assembly rounding of the witness, far
+            # below any real state drift
+            return (dA + dC) > 1e-5 * den
+        j = nl // 2
+        ej = np.zeros(nl)
+        ej[j] = 1.0
+        k1 = form._jit(("sigma_kcols", 1), kcols_fn)
+        col = np.asarray(k1(tables, ess, state, pdata, alpha_j,
+                            jnp.asarray(ej[None, :])))[0]
+        ref = cache["K"][:, j]
+        den = max(float(np.linalg.norm(ref)), 1e-30)
+        return float(np.linalg.norm(col - ref)) > 1e-8 * den
+
     if "K" not in cache:
-        cache["K"] = build_K()
+        cache["mode"] = "gemm" if gemm_ok() else "matvec"
+        cache["K"] = build_K_gemm() if cache["mode"] == "gemm" \
+            else build_K()
         cache["k_dynamic"] = False
     # Lazy refresh: the Sigma-CG wrapped around this preconditioner keeps
     # every direction correct regardless of staleness, and a factor built
@@ -790,21 +928,10 @@ def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
         or cache.get("outer_prev", 0) > 12
     )
     if refresh:
-        if cache["k_dynamic"]:
-            cache["K"] = build_K()
-        else:
-            # spot-check K invariance: one fresh column vs the cache
-            j = nl // 2
-            ej = np.zeros(nl)
-            ej[j] = 1.0
-            k1 = form._jit(("sigma_kcols", 1), kcols_fn)
-            col = np.asarray(k1(tables, ess, state, pdata, alpha_j,
-                                jnp.asarray(ej[None, :])))[0]
-            ref = cache["K"][:, j]
-            den = max(float(np.linalg.norm(ref)), 1e-30)
-            if float(np.linalg.norm(col - ref)) > 1e-8 * den:
-                cache["k_dynamic"] = True
-                cache["K"] = build_K()
+        if cache["k_dynamic"] or check_drift():
+            cache["k_dynamic"] = True
+            cache["K"] = build_K_gemm() if cache["mode"] == "gemm" \
+                else build_K()
         dej = form._jit(("sigma_de",), de_fn)
         De = np.asarray(dej(tables, state))
         gi = cache["gi"]
@@ -812,7 +939,6 @@ def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
         np.add.at(S, (gi[:, :, None], gi[:, None, :]), De)
         S *= alpha_f * alpha_f
         S += cache["K"]
-        le = np.asarray(ess)[n0:]
         if le.any():  # grad_mult_raw treats essential dofs as identity
             S[le, :] = 0.0
             S[:, le] = 0.0
@@ -822,20 +948,10 @@ def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
             np.abs(np.diag(S)).max())
         # invert in f32 — a preconditioner needs ~3 digits (kappa(S)~1e4
         # -> inverse accurate to ~1e-3 relative) and the surrounding CG
-        # supplies the rest.  Prefer the device (MXU LU, seconds); libtpu
-        # runs out of scoped vmem on LU panels above ~10k rows (measured
-        # at nl=13122: "Ran out of memory in memory space vmem ...
-        # LuDecompositionBlock"), so fall back to host f32 LAPACK there
-        # (~1 min single-core at 13k — amortized by the lazy refresh).
-        if not cache.get("inv_on_host"):
-            try:
-                cache["Sinv"] = jax.block_until_ready(
-                    jnp.linalg.inv(jnp.asarray(S, dtype=jnp.float32)))
-            except jax.errors.JaxRuntimeError:
-                cache["inv_on_host"] = True
-        if cache.get("inv_on_host"):
-            cache["Sinv"] = jnp.asarray(
-                np.linalg.inv(S.astype(np.float32)))
+        # supplies the rest.  _inv_f32_accel runs on the device at any
+        # size (recursive block elimination above libtpu's ~10k LU vmem
+        # limit; host LAPACK only as a last resort).
+        cache["Sinv"] = _inv_f32_accel(S)
         cache["alpha"] = alpha_f
     return cache
 
@@ -889,7 +1005,8 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
     nl = form.ndof - n0
     use_direct = _sigma_direct_enabled(form, opts, fp, nl)
 
-    def ops(tables, ess, state, arrays, pdata, alpha, sinv=None):
+    def ops(tables, ess, state, arrays, pdata, alpha, sinv=None,
+            ainv=None):
         def mvraw(v):
             return form.grad_mult_raw(tables, ess, state, v)
 
@@ -899,8 +1016,17 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
         def mvfull(v):  # scaled saddle operator Lam J Lam
             return scale(mvraw(scale(v)))
 
-        def V_A(v):
-            return fp.apply_primal(pdata, v)
+        if ainv is not None:
+            # gemm-mode sigma-direct: the dense f32 A^-1 (already paid
+            # for building K) replaces the V-cycle as the inner primal
+            # surrogate — one MXU GEMM per apply, and it is the *exact*
+            # inverse the Sigma factor was built from, so the Sigma-CG
+            # preconditioner is consistent with its operator.
+            def V_A(v):
+                return (ainv @ v.astype(ainv.dtype)).astype(v.dtype)
+        else:
+            def V_A(v):
+                return fp.apply_primal(pdata, v)
 
         a2 = alpha * alpha
 
@@ -950,8 +1076,10 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
         z = M_ldu(v)
         return z, mvfull(z)
 
-    def step_fn_direct(tables, ess, state, arrays, pdata, alpha, sinv, v):
-        mvfull, M_ldu = ops(tables, ess, state, arrays, pdata, alpha, sinv)
+    def step_fn_direct(tables, ess, state, arrays, pdata, alpha, sinv,
+                       ainv, v):
+        mvfull, M_ldu = ops(tables, ess, state, arrays, pdata, alpha,
+                            sinv, ainv)
         z = M_ldu(v)
         return z, mvfull(z)
 
@@ -1003,7 +1131,8 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
             _t0 = _time.perf_counter()
             if use_direct:
                 z, w = step(tables, ess, state, arrays, pdata, alpha_j,
-                            sd["Sinv"], jnp.asarray(V[j]))
+                            sd["Sinv"], sd.get("Ainv"),
+                            jnp.asarray(V[j]))
             else:
                 z, w = step(tables, ess, state, arrays, pdata, alpha_j,
                             jnp.asarray(V[j]))

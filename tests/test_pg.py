@@ -430,6 +430,61 @@ def test_gradient_obstacle_ldu_direction_sigma_direct():
     assert rel4 < 1e-6, (rel4, its4)
 
 
+def test_inv_f32_accel_recursive(monkeypatch):
+    """The recursive 2x2-block f32 inversion (solvers._inv_f32_accel)
+    must match LAPACK through several recursion levels — it is the
+    device-side replacement for the host inversion above libtpu's ~10k
+    LU vmem limit, so force a tiny leaf to exercise the block algebra."""
+    from mfem_ad_tpu import solvers as S
+
+    rng = np.random.default_rng(0)
+    n = 300  # leaf 64 -> 3 recursion levels, uneven splits
+    Q = rng.standard_normal((n, n))
+    A = Q @ Q.T + n * np.eye(n)
+    monkeypatch.setenv("MFEM_AD_TPU_INV_LEAF", "64")
+    X = np.asarray(S._inv_f32_accel(A))
+    assert np.allclose(X, X.T)
+    err = np.linalg.norm(X @ A - np.eye(n)) / np.linalg.norm(np.eye(n))
+    assert err < 1e-3, err
+
+
+def test_sigma_direct_matvec_fallback(monkeypatch):
+    """Forcing MFEM_AD_TPU_SIGMA_GEMM=0 must route the sigma-direct K
+    build through the vmapped V-cycle column builder (the fallback for
+    forms whose dense primal block does not fit) and still produce
+    dense-accurate directions with no cached Ainv."""
+    from mfem_ad_tpu.models import gradient_obstacle as G
+    from mfem_ad_tpu import solvers as S
+    from mfem_ad_tpu.solvers import NewtonOptions
+
+    monkeypatch.setenv("MFEM_AD_TPU_SIGMA_GEMM", "0")
+    pb = G.build(2, 1, n0=6)
+    form = pb.form
+    fpw = G._primal_gmg(2, 1, 6).as_preconditioner()
+    fp = fpw.fused_precond
+    pdata = fp.fused_pdata()
+    off = form.offsets
+    alpha = 64.0
+    x = jnp.zeros(form.ndof)
+    fields = {"alpha": jnp.asarray(alpha),
+              "latent_k0": x[off[1]:off[2]]}
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(form.ndof)
+    v[np.asarray(form.ess_mask)] = 0.0
+    state = form.grad_state(x, fields)
+    dx_dense = np.linalg.solve(form.assemble_dense(state), v)
+    b = form.mult(x, fields) - jnp.asarray(v)
+    opts = NewtonOptions(lin_solver="schur", lin_tol=1e-10,
+                         lin_maxiter=200, preconditioner=fpw,
+                         sigma_direct=True)
+    dx, its = S._schur_dir_chunked(form, opts, fp, x, b, fields, pdata)
+    rel = np.linalg.norm(np.asarray(dx) - dx_dense) / np.linalg.norm(
+        dx_dense)
+    assert rel < 1e-6, (rel, its)
+    cache = fp._sigma_cache
+    assert cache["mode"] == "matvec" and "Ainv" not in cache
+
+
 @pytest.mark.slow
 def test_gradient_obstacle_lvpp_schur_gmg_e2e():
     """ex5 end-to-end on its SHIPPED solver path (schur -> LDU-FGMRES with
