@@ -332,7 +332,8 @@ class PGSolver:
                 if meta is not None and "iteration" in meta:
                     start_it = int(meta["iteration"]) + 1
                 if self.verbose:
-                    print(f"PG resume from iteration {start_it}")
+                    print(f"PG resume from iteration {start_it}",
+                          flush=True)
         for it in range(start_it, self.max_iter):
             t_it = time.perf_counter()
             alpha = self.rule.get(it)
@@ -347,14 +348,16 @@ class PGSolver:
                         print(
                             f"PG it {it+1}: Newton stagnated at "
                             f"||r||={res.final_norm:.3e} <= accept "
-                            f"{self.newton_accept:g}; continuing"
+                            f"{self.newton_accept:g}; continuing",
+                            flush=True,
                         )
                 else:
                     if self.verbose:
                         print(
                             f"PG it {it+1}: Newton FAILED after "
                             f"{res.iterations} its "
-                            f"(||r||={res.final_norm:.3e})"
+                            f"(||r||={res.final_norm:.3e})",
+                            flush=True,
                         )
                     break
             x = res.x
@@ -370,7 +373,8 @@ class PGSolver:
                 print(
                     f"PG it {it+1}: alpha={alpha:.4g} newton={res.iterations}"
                     f"{lin} |lam diff|_L1={lam_diff:.3e} "
-                    f"[{time.perf_counter() - t_it:.1f}s]"
+                    f"[{time.perf_counter() - t_it:.1f}s]",
+                    flush=True,
                 )
             if callback is not None:
                 callback(it, x, lam)

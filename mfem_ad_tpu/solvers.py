@@ -663,52 +663,89 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
     return dx, lin_its
 
 
-def _inv_f32_accel(S: np.ndarray):
-    """f32 inverse of a symmetric matrix on the accelerator, any size.
+_SWEEP_CACHE: dict = {}
 
-    libtpu's LU runs out of scoped vmem above ~10k rows (measured at
+
+def _sweep_inv_fn(n_pad: int, b: int):
+    """Jitted blocked Gauss-Jordan SWEEP inversion, cached per shape.
+
+    Sweeping every pivot block of an SPD matrix in place yields -A^-1
+    (the classical SWEEP operator, composed blockwise): for pivot block
+    k with P = inv(A[k,k]) and col = A[:, k],
+
+        A   <- A - col P col^T        (full symmetric rank-b update)
+        A[:, k] <- col P;  A[k, :] <- (col P)^T;  A[k, k] <- -P
+
+    One fori_loop program with input donation: peak device memory is
+    ~2 n^2 f32 (the loop-carried matrix, double-buffered) instead of the
+    ~5 n^2 of a recursive 2x2 block elimination, whose temporaries OOM'd
+    the 16 GB chip at n=26k next to resident solver state (measured,
+    ex5 ref-3).  ~2 n^3 flops of [n, b] GEMMs: ~1-2 s at n=26k, safely
+    inside the remote worker's ~60 s execution watchdog."""
+    key = (n_pad, b)
+    fn = _SWEEP_CACHE.get(key)
+    if fn is None:
+        nb = n_pad // b
+
+        def sweep(A):
+            def step(i, A):
+                k0 = i * b
+                P = jnp.linalg.inv(
+                    jax.lax.dynamic_slice(A, (k0, k0), (b, b)))
+                col = jax.lax.dynamic_slice(A, (0, k0), (n_pad, b))
+                CP = col @ P
+                A = A - CP @ col.T
+                A = jax.lax.dynamic_update_slice(A, CP, (0, k0))
+                A = jax.lax.dynamic_update_slice(A, CP.T, (k0, 0))
+                A = jax.lax.dynamic_update_slice(A, -P, (k0, k0))
+                return A
+
+            return -jax.lax.fori_loop(0, nb, step, A)
+
+        fn = jax.jit(sweep, donate_argnums=0)
+        _SWEEP_CACHE[key] = fn
+    return fn
+
+
+def _inv_f32_accel(S):
+    """f32 inverse of a symmetric (near-)SPD matrix on the accelerator.
+
+    n <= leaf (default 8192): one ``jnp.linalg.inv`` — libtpu's LU holds
+    to ~10k rows (above that it exhausts scoped vmem, measured at
     n=13122: "Ran out of memory in memory space vmem ...
-    LuDecompositionBlock"), so above a leaf size the inverse is built by
-    recursive 2x2 block elimination — pure MXU GEMMs plus leaf LUs:
-
-        inv([[A11, A12], [A12^T, A22]]) = [[X11 + U W^T, -U], [-U^T, XT]]
-        W = X11 A12,  T = A22 - A12^T W,  XT = inv(T),  U = W XT
-
-    Exact for symmetric S with invertible leading blocks (SPD: always).
-    Replaces the round-3 single-core-host LAPACK fallback, which was
-    minutes per refresh at ex5 ref-3 scale (nl=13122); the GEMM route is
-    seconds.  Falls back to host LAPACK if the device fails at the
-    smallest leaf.  Returns a device f32 array, symmetrized.
-    """
+    LuDecompositionBlock").  Above the leaf: the blocked SWEEP program
+    (``_sweep_inv_fn``), identity-padded to a block multiple.  The
+    result STAYS on the device — pulling it to the host is the one
+    thing this tunnel cannot do (d2h measured ~50 MB/s with
+    multi-minute stalls vs 1.1 GB/s h2d), and every consumer
+    (Sigma-CG, the LDU primal surrogate) applies it as a device GEMM.
+    Host LAPACK only as a small-n last resort; raises RuntimeError when
+    the inverse cannot be produced on the device at a size where the
+    host grind (~40 min at 26k on this box) would be worse than the
+    caller's matrix-free fallback."""
     leaf = int(_os.environ.get("MFEM_AD_TPU_INV_LEAF", "8192"))
-
-    def rec(Sd, leaf):
-        n = Sd.shape[0]
+    n = S.shape[0]
+    try:
         if n <= leaf:
-            return jnp.linalg.inv(Sd)
-        h = max(leaf, ((n // 2 + 127) // 128) * 128)
-        if h >= n:
-            h = n // 2
-        A11, A12, A22 = Sd[:h, :h], Sd[:h, h:], Sd[h:, h:]
-        X11 = rec(A11, leaf)
-        W = X11 @ A12
-        XT = rec(A22 - A12.T @ W, leaf)
-        U = W @ XT
-        top = jnp.concatenate([X11 + U @ W.T, -U], axis=1)
-        bot = jnp.concatenate([-U.T, XT], axis=1)
-        return jnp.concatenate([top, bot], axis=0)
-
-    Sd = jnp.asarray(S, dtype=jnp.float32)
-    while True:
-        try:
-            out = jax.block_until_ready(rec(Sd, leaf))
+            Sd = jnp.asarray(S, dtype=jnp.float32)
+            out = jax.block_until_ready(jnp.linalg.inv(Sd))
             return 0.5 * (out + out.T)
-        except jax.errors.JaxRuntimeError:
-            if leaf <= 2048:
-                break
-            leaf //= 2
-    out = np.linalg.inv(np.asarray(S, dtype=np.float32))
-    return jnp.asarray(0.5 * (out + out.T))
+        b = int(_os.environ.get("MFEM_AD_TPU_SWEEP_BLOCK", "1024"))
+        n_pad = -(-n // b) * b
+        Sp = np.zeros((n_pad, n_pad), np.float32)
+        Sp[:n, :n] = np.asarray(S, dtype=np.float32)
+        idx = np.arange(n, n_pad)
+        Sp[idx, idx] = 1.0
+        out = jax.block_until_ready(_sweep_inv_fn(n_pad, b)(jnp.asarray(Sp)))
+        out = out[:n, :n]
+        return 0.5 * (out + out.T)
+    except jax.errors.JaxRuntimeError:
+        if n > 16384:
+            raise RuntimeError(
+                f"device inversion failed at n={n}; host fallback would "
+                "be slower than matrix-free preconditioning")
+        out = np.linalg.inv(np.asarray(S, dtype=np.float32))
+        return jnp.asarray(0.5 * (out + out.T))
 
 
 def _sigma_direct_enabled(form, opts, fp, nl: int) -> bool:
@@ -857,15 +894,18 @@ def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
 
     def build_K_gemm():
         A, Ca = build_AC()
-        Ainv = _inv_f32_accel(A)
         # invariance witness: one raw-Jacobian column (A[:,j], alpha*C[j,:])
         j = int(np.argmax(~pe))  # first non-essential primal dof
         cache["chk"] = (j, A[:, j].copy(), Ca[j, :].copy())
+        Ainv = _inv_f32_accel(A)
         del A
+        # K stays ON DEVICE: at ref-3 scale it is ~0.7 GB and the tunnel's
+        # d2h path runs ~50 MB/s with multi-minute stalls (measured);
+        # every consumer adds it to Sigma on the device anyway.
         Ca_d = jnp.asarray(Ca)
-        K = np.asarray(Ca_d.T @ (Ainv @ Ca_d), dtype=np.float64)
+        K = Ca_d.T @ (Ainv @ Ca_d)
         cache["Ainv"] = Ainv
-        return 0.5 * (K + K.T)
+        return jax.block_until_ready(0.5 * (K + K.T))
 
     def gemm_ok():
         if _os.environ.get("MFEM_AD_TPU_SIGMA_GEMM", "1") == "0":
@@ -873,10 +913,13 @@ def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
         if not all(hasattr(i, "assemble_dense_block")
                    for i in form.integrators):
             return False
-        # device-memory estimate: A + A^-1 + alpha*C + one GEMM temp (f32)
+        # peak-device-memory estimate (f32): the SWEEP inversion double-
+        # buffers the n0 x n0 matrix (2x), plus the retained A^-1 slice,
+        # the coupling + GEMM temp, and K — all next to resident solver
+        # state on a 16 GB chip.
         budget = float(_os.environ.get(
-            "MFEM_AD_TPU_SIGMA_GEMM_BYTES", "10e9"))
-        return 4.0 * (2.0 * n0 * n0 + 2.0 * n0 * nl) < budget
+            "MFEM_AD_TPU_SIGMA_GEMM_BYTES", "12e9"))
+        return 4.0 * (3.0 * n0 * n0 + 2.0 * n0 * nl + nl * nl) < budget
 
     def check_drift():
         """One grad_mult_raw column vs the cached witness; returns True
@@ -906,10 +949,21 @@ def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
         den = max(float(np.linalg.norm(ref)), 1e-30)
         return float(np.linalg.norm(col - ref)) > 1e-8 * den
 
+    def rebuild_K():
+        """Build K in the cached mode; a device failure (OOM next to
+        resident solver state) demotes gemm -> matvec permanently for
+        this cache rather than killing the run."""
+        if cache["mode"] == "gemm":
+            try:
+                return build_K_gemm()
+            except (jax.errors.JaxRuntimeError, RuntimeError):
+                cache["mode"] = "matvec"
+                cache.pop("Ainv", None)
+        return build_K()
+
     if "K" not in cache:
         cache["mode"] = "gemm" if gemm_ok() else "matvec"
-        cache["K"] = build_K_gemm() if cache["mode"] == "gemm" \
-            else build_K()
+        cache["K"] = rebuild_K()
         cache["k_dynamic"] = False
     # Lazy refresh: the Sigma-CG wrapped around this preconditioner keeps
     # every direction correct regardless of staleness, and a factor built
@@ -930,28 +984,45 @@ def _sigma_direct_update(form, fp, tables, ess, state, pdata, alpha_f,
     if refresh:
         if cache["k_dynamic"] or check_drift():
             cache["k_dynamic"] = True
-            cache["K"] = build_K_gemm() if cache["mode"] == "gemm" \
-                else build_K()
+            cache["K"] = rebuild_K()
         dej = form._jit(("sigma_de",), de_fn)
         De = np.asarray(dej(tables, state))
         gi = cache["gi"]
         S = np.zeros((nl, nl))
         np.add.at(S, (gi[:, :, None], gi[:, None, :]), De)
         S *= alpha_f * alpha_f
-        S += cache["K"]
-        if le.any():  # grad_mult_raw treats essential dofs as identity
-            S[le, :] = 0.0
-            S[:, le] = 0.0
-            S[le, le] = 1.0
-        S = 0.5 * (S + S.T)
-        S[np.diag_indices_from(S)] += 1e-14 * float(
-            np.abs(np.diag(S)).max())
+        K = cache["K"]
+        if isinstance(K, np.ndarray):
+            S += K
+            if le.any():  # grad_mult_raw treats essential dofs as identity
+                S[le, :] = 0.0
+                S[:, le] = 0.0
+                S[le, le] = 1.0
+            S = 0.5 * (S + S.T)
+            S[np.diag_indices_from(S)] += 1e-14 * float(
+                np.abs(np.diag(S)).max())
+            Sfull = S
+        else:
+            # gemm mode: K lives on the device; assemble Sigma there too
+            # (only the small alpha^2 D scatter crosses h2d) and never
+            # pull an nl x nl array down the ~50 MB/s d2h path.
+            if "le_mask" not in cache:
+                cache["le_mask"] = jnp.asarray(~le, dtype=jnp.float32)
+                cache["le_add"] = jnp.asarray(le, dtype=jnp.float32)
+            Sd = jnp.asarray(S, dtype=jnp.float32) + K
+            lm = cache["le_mask"]
+            Sd = Sd * lm[:, None] * lm[None, :]
+            Sd = 0.5 * (Sd + Sd.T)
+            dmax = jnp.abs(jnp.diagonal(Sd)).max()
+            # diagonal fix via scatter-add (NOT jnp.eye: under x64 its
+            # i64 iota temporaries are ~4x nl^2 bytes — measured OOM)
+            di = jnp.arange(nl)
+            Sfull = Sd.at[di, di].add(cache["le_add"] + 1e-14 * dmax)
         # invert in f32 — a preconditioner needs ~3 digits (kappa(S)~1e4
         # -> inverse accurate to ~1e-3 relative) and the surrounding CG
         # supplies the rest.  _inv_f32_accel runs on the device at any
-        # size (recursive block elimination above libtpu's ~10k LU vmem
-        # limit; host LAPACK only as a last resort).
-        cache["Sinv"] = _inv_f32_accel(S)
+        # size (blocked SWEEP above libtpu's ~10k LU vmem limit).
+        cache["Sinv"] = _inv_f32_accel(Sfull)
         cache["alpha"] = alpha_f
     return cache
 
@@ -1500,7 +1571,7 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
         if norm0 is None:
             norm0 = norm
         if opts.verbose:
-            print(f"  newton it {it:3d}: ||r|| = {norm:.6e}")
+            print(f"  newton it {it:3d}: ||r|| = {norm:.6e}", flush=True)
         if norm <= max(opts.rel_tol * norm0, opts.abs_tol):
             converged = True
             break

@@ -430,22 +430,27 @@ def test_gradient_obstacle_ldu_direction_sigma_direct():
     assert rel4 < 1e-6, (rel4, its4)
 
 
-def test_inv_f32_accel_recursive(monkeypatch):
-    """The recursive 2x2-block f32 inversion (solvers._inv_f32_accel)
-    must match LAPACK through several recursion levels — it is the
-    device-side replacement for the host inversion above libtpu's ~10k
-    LU vmem limit, so force a tiny leaf to exercise the block algebra."""
+def test_inv_f32_accel_sweep(monkeypatch):
+    """The blocked Gauss-Jordan SWEEP inversion (solvers._inv_f32_accel
+    above the leaf size) must match LAPACK, including at a size that is
+    not a block multiple (identity padding) — it is the device-side,
+    bounded-memory replacement for LU above libtpu's ~10k vmem limit."""
     from mfem_ad_tpu import solvers as S
 
     rng = np.random.default_rng(0)
-    n = 300  # leaf 64 -> 3 recursion levels, uneven splits
+    n = 300  # leaf 64, block 64 -> 5 sweep steps with a padded tail
     Q = rng.standard_normal((n, n))
     A = Q @ Q.T + n * np.eye(n)
     monkeypatch.setenv("MFEM_AD_TPU_INV_LEAF", "64")
+    monkeypatch.setenv("MFEM_AD_TPU_SWEEP_BLOCK", "64")
     X = np.asarray(S._inv_f32_accel(A))
     assert np.allclose(X, X.T)
     err = np.linalg.norm(X @ A - np.eye(n)) / np.linalg.norm(np.eye(n))
     assert err < 1e-3, err
+    # leaf path (small n) must agree with the sweep path
+    X2 = np.asarray(S._inv_f32_accel(A[:64, :64]))
+    err2 = np.linalg.norm(X2 @ A[:64, :64] - np.eye(64))
+    assert err2 < 1e-3, err2
 
 
 def test_sigma_direct_matvec_fallback(monkeypatch):
