@@ -54,19 +54,47 @@ if _prec != "default":
 # is re-usable across runs.  On by default everywhere (it was test-only
 # in round 2); opt out with MFEM_AD_TPU_NO_COMPILE_CACHE=1 or override
 # the directory with MFEM_AD_TPU_COMPILE_CACHE=<dir>.
+def _host_fingerprint() -> str:
+    """Digest of the host CPU feature set, for scoping the compile cache.
+
+    XLA's persistent-cache key does NOT include the host CPU features, so
+    a cache directory written on one machine can hand AOT-compiled
+    XLA:CPU executables to a host lacking those ISA extensions (observed:
+    "Target machine feature +prefer-no-scatter is not supported on the
+    host machine ... could lead to execution errors such as SIGILL", and
+    a failing 2-process worker, when /tmp survived a VM migration).
+    """
+    import hashlib
+    import platform
+
+    key = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    key = line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(key.encode()).hexdigest()[:10]
+
+
 if not os.environ.get("MFEM_AD_TPU_NO_COMPILE_CACHE"):
     import jax
 
     if jax.config.jax_compilation_cache_dir is None:
-        # per-user default path: a world-shared /tmp dir breaks (and is a
-        # squatting vector) for the second user on a shared host
+        # per-user path: a world-shared /tmp dir breaks (and is a
+        # squatting vector) for the second user on a shared host;
+        # per-host-fingerprint so a /tmp that outlives a VM migration
+        # cannot serve AOT executables built for a different CPU
         _uid = getattr(os, "getuid", lambda: 0)()
         jax.config.update(
             "jax_compilation_cache_dir",
             os.environ.get(
                 "MFEM_AD_TPU_COMPILE_CACHE",
                 os.path.join(
-                    tempfile.gettempdir(), f"mfem_ad_tpu_jax_cache_{_uid}"
+                    tempfile.gettempdir(),
+                    f"mfem_ad_tpu_jax_cache_{_uid}_{_host_fingerprint()}",
                 ),
             ),
         )

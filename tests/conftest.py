@@ -20,5 +20,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/mfem_ad_tpu_jax_cache")
+
+# Scope the cache by host CPU fingerprint: XLA's cache key omits host CPU
+# features, so /tmp surviving a VM migration otherwise serves AOT'd CPU
+# executables the new host can't run (SIGILL risk; observed worker failure).
+from mfem_ad_tpu import _host_fingerprint  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/tmp/mfem_ad_tpu_jax_cache_{_host_fingerprint()}",
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
