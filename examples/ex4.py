@@ -19,6 +19,7 @@ import numpy as np
 
 from mfem_ad_tpu.models import obstacle
 from mfem_ad_tpu.utils.viz import maybe_export
+from mfem_ad_tpu.utils import profiling
 
 
 def main():
@@ -40,26 +41,32 @@ def main():
     ap.add_argument("-d", "--dim", type=int, default=2, choices=[2, 3],
                     help="3 = hex-mesh 3D obstacle (superset of the "
                          "2D-only reference, ex4.cpp:78)")
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="write a jax.profiler device trace to LOGDIR "
+                         "and print the per-phase cost table (SURVEY §5)")
     args = ap.parse_args()
 
-    res, pb = obstacle.solve(
-        order=args.order,
-        ref_levels=args.ref,
-        dim=args.dim,
-        rule_type=args.rule,
-        alpha0=args.alpha0,
-        max_alpha=args.max_alpha,
-        ratio=args.alpha_ratio,
-        ratio2=args.alpha_ratio2,
-        lin_solver=args.solver,
-        verbose=True,
-    )
+    with profiling.trace(args.profile):
+        res, pb = obstacle.solve(
+            order=args.order,
+            ref_levels=args.ref,
+            dim=args.dim,
+            rule_type=args.rule,
+            alpha0=args.alpha0,
+            max_alpha=args.max_alpha,
+            ratio=args.alpha_ratio,
+            ratio2=args.alpha_ratio2,
+            lin_solver=args.solver,
+            verbose=True,
+        )
     u = np.asarray(res.x[: pb.primal_space.ndof])
     print(
         f"PG {'converged' if res.converged else 'stopped'} in "
         f"{res.iterations} iterations, final lambda diff {res.lambda_diff:.3e}"
     )
     print(f"u range: [{u.min():.6f}, {u.max():.6f}] (bounds [0, 0.5])")
+    if args.profile:
+        profiling.print_cost_table()
     maybe_export(
         args.paraview, "ad-obstacle", pb.primal_space,
         {"x": res.x[: pb.primal_space.ndof]},

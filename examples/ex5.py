@@ -16,6 +16,7 @@ import numpy as np
 
 from mfem_ad_tpu.models import gradient_obstacle
 from mfem_ad_tpu.utils.viz import maybe_export
+from mfem_ad_tpu.utils import profiling
 
 
 def main():
@@ -35,23 +36,29 @@ def main():
                          "MINRES on the saddle system (scalable TPU "
                          "default for the H1^dim latent)")
     ap.add_argument("-pv", "--paraview", action="store_true")
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="write a jax.profiler device trace to LOGDIR "
+                         "and print the per-phase cost table (SURVEY §5)")
     args = ap.parse_args()
 
-    res, pb = gradient_obstacle.solve(
-        order=args.order,
-        ref_levels=args.ref,
-        rule_type=args.rule,
-        alpha0=args.alpha0,
-        max_alpha=args.max_alpha,
-        ratio=args.alpha_ratio,
-        ratio2=args.alpha_ratio2,
-        lin_solver=args.solver,
-        verbose=True,
-    )
+    with profiling.trace(args.profile):
+        res, pb = gradient_obstacle.solve(
+            order=args.order,
+            ref_levels=args.ref,
+            rule_type=args.rule,
+            alpha0=args.alpha0,
+            max_alpha=args.max_alpha,
+            ratio=args.alpha_ratio,
+            ratio2=args.alpha_ratio2,
+            lin_solver=args.solver,
+            verbose=True,
+        )
     print(
         f"PG {'converged' if res.converged else 'stopped'} in "
         f"{res.iterations} iterations, final lambda diff {res.lambda_diff:.3e}"
     )
+    if args.profile:
+        profiling.print_cost_table()
     maybe_export(
         args.paraview, "ad-grad-obstacle", pb.primal_space,
         {"x": res.x[: pb.primal_space.ndof]},

@@ -32,6 +32,7 @@ from .ad import ADFunction, admax
 from .coefficients import GridFunctionCoefficient, ScalarFieldCoefficient
 from .fespace import FESpace
 from .solvers import NewtonOptions, newton
+from .utils import profiling
 
 
 # ---------------------------------------------------------------------------
@@ -340,7 +341,8 @@ class PGSolver:
             psik = x[off[s] : off[s + 1]]
             fields["alpha"] = jnp.asarray(alpha)
             fields["latent_k0"] = psik
-            res = newton(self.form, x, rhs, fields, self.newton_opts)
+            with profiling.phase("pg/newton"):
+                res = newton(self.form, x, rhs, fields, self.newton_opts)
             newton_iters.append(res.iterations)
             if not res.converged:
                 if res.final_norm <= self.newton_accept:
@@ -364,9 +366,10 @@ class PGSolver:
             psi = x[off[s] : off[s + 1]]
             lam = (psi - psik) / alpha
             if lam_prev is not None:
-                lam_diff = float(
-                    l1_norm(self.latent_space, np.asarray(lam - lam_prev))
-                )
+                with profiling.phase("pg/lambda_norm"):
+                    lam_diff = float(
+                        l1_norm(self.latent_space, np.asarray(lam - lam_prev))
+                    )
             if self.verbose:
                 lin = (f" lin={sum(res.lin_iters)}"
                        if getattr(res, "lin_iters", None) else "")
@@ -383,14 +386,15 @@ class PGSolver:
             ):
                 from .utils.checkpoint import save_checkpoint
 
-                arrays = {"x": np.asarray(x)}
-                if lam is not None:
-                    arrays["lam_prev"] = np.asarray(lam)
-                save_checkpoint(
-                    self.checkpoint_path, arrays,
-                    meta={"iteration": it, "alpha": float(alpha),
-                          "lam_diff": float(lam_diff)},
-                )
+                with profiling.phase("pg/checkpoint"):
+                    arrays = {"x": np.asarray(x)}
+                    if lam is not None:
+                        arrays["lam_prev"] = np.asarray(lam)
+                    save_checkpoint(
+                        self.checkpoint_path, arrays,
+                        meta={"iteration": it, "alpha": float(alpha),
+                              "lam_diff": float(lam_diff)},
+                    )
             if lam_diff < self.tol:
                 converged = True
                 break

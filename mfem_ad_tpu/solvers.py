@@ -27,6 +27,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .utils import profiling
+
 
 # ---------------------------------------------------------------------------
 # Krylov methods (jittable, matvec closures)
@@ -1490,6 +1492,11 @@ def _apply_step(form, x, c, b, fields, norm, opts):
     noise-amplified direction from a nearly-singular LVPP Schur system —
     and costs one extra residual evaluation per Newton iteration.
     """
+    with profiling.phase("newton/line_search"):
+        return _apply_step_impl(form, x, c, b, fields, norm, opts)
+
+
+def _apply_step_impl(form, x, c, b, fields, norm, opts):
     def rnorm(xn):
         rn = form.mult(xn, fields) - b
         return float(jnp.linalg.norm(jnp.where(form.ess_mask, 0.0, rn)))
@@ -1564,9 +1571,10 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
     norm = np.inf
     stalled = 0
     for it in range(opts.max_iter + 1):
-        r = form.mult(x, fields) - b
-        r = jnp.where(form.ess_mask, 0.0, r)
-        norm = float(jnp.linalg.norm(r))
+        with profiling.phase("newton/residual"):
+            r = form.mult(x, fields) - b
+            r = jnp.where(form.ess_mask, 0.0, r)
+            norm = float(jnp.linalg.norm(r))
         hist.append(norm)
         if norm0 is None:
             norm0 = norm
@@ -1589,7 +1597,9 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
         if opts.stall_iters is not None and stalled >= opts.stall_iters:
             break
         if chunked:
-            c, li = _schur_dir_chunked(form, opts, fp, x, b, fields, pdata)
+            with profiling.phase("newton/direction"):
+                c, li = _schur_dir_chunked(
+                    form, opts, fp, x, b, fields, pdata)
             lin_iters.append(li)
             xn = _apply_step(form, x, c, b, fields, norm, opts)
             if xn is x:
@@ -1597,7 +1607,10 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
             x = xn
             continue
         if fused:
-            c = step(form._tables(), form.ess_mask, x, b, fields, pdata)
+            with profiling.phase("newton/direction"):
+                c = step(form._tables(), form.ess_mask, x, b, fields,
+                         pdata)
+                jax.block_until_ready(c)
             xn = _apply_step(form, x, c, b, fields, norm, opts)
             if xn is x:
                 break

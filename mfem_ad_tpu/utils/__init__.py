@@ -7,5 +7,7 @@ the checkpoint/resume subsystem the reference lacks (SURVEY.md §5).
 from .logger import TableLogger
 from .checkpoint import save_checkpoint, load_checkpoint
 from .vtk import write_vtu
+from . import profiling
 
-__all__ = ["TableLogger", "save_checkpoint", "load_checkpoint", "write_vtu"]
+__all__ = ["TableLogger", "save_checkpoint", "load_checkpoint", "write_vtu",
+           "profiling"]
