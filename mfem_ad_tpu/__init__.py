@@ -43,6 +43,16 @@ if not os.environ.get("MFEM_AD_TPU_NO_X64"):
 # convergence (measured: f32 elasticity diverges on a v5e at default
 # precision, converges to the f32 floor at HIGHEST).  FEM needs true-f32
 # contractions; override with MFEM_AD_TPU_MATMUL_PRECISION={default,high}.
+# Platform override: some environments force-register an accelerator
+# platform via sitecustomize and ignore JAX_PLATFORMS; this gives users
+# a working escape hatch (e.g. MFEM_AD_TPU_PLATFORM=cpu to develop on
+# the host while the chip is busy).
+_plat = os.environ.get("MFEM_AD_TPU_PLATFORM")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
 _prec = os.environ.get("MFEM_AD_TPU_MATMUL_PRECISION", "highest")
 if _prec != "default":
     import jax
