@@ -185,8 +185,9 @@ def _gemm_flops_per_element(intg):
     else:
         x_gemm = 2 * nde * nq * w
     if "0_0" in intg.tables.get("W0", {}):
-        # blocked-W route: vdim^2 fewer FLOPs than the full Bf (x) Bf GEMM
-        return x_gemm + 2 * v * v * (nq * sd * sd) * (nd * nd)
+        # blocked-W route (vdim^2 fewer FLOPs than full Bf (x) Bf); the
+        # diagonal pair contracts only the upper vdim-block triangle
+        return x_gemm + 2 * (v * (v + 1) // 2) * (nq * sd * sd) * (nd * nd)
     if "0_0" in intg.tables.get("W", {}):
         return x_gemm + 2 * (nq * w * w) * (nde * nde)
     return x_gemm + nq * (2 * nde * w * w + 2 * nde * nde * w)

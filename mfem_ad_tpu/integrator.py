@@ -461,24 +461,47 @@ class ADBlockIntegrator:
                 )
                 for s in range(nb)
             )
+            # Two contraction factors compete per (test, trial) pair; the
+            # padded-MXU cost model installs W0 only where it beats the
+            # full-W GEMM:
+            #   W0   blocked b0 (x) b0 — vdim axes ride the GEMM M dim; on
+            #        the symmetric diagonal pair (s == t_) only the upper
+            #        vdim-block triangle is contracted and the lower is the
+            #        transpose (M multiplier vs*vt -> vs(vs+1)/2, measured
+            #        1.27x at p2/3D).
+            #   W    full Bf (x) Bf (also kept for the Pallas kernel).
+            # A third candidate was measured and REJECTED (round 3): a
+            # symmetry-compacted full factor A = Hsym @ Wsym over the
+            # (q, a <= b) Hessian triangle (K = nq*w(w+1)/2, e.g. 144->90
+            # = one 128-lane MXU tile instead of two at Q1/2D/vdim=2).
+            # On a v5e it LOSES 1.5-2.6x to the full-W GEMM because the
+            # triangle extraction is a minor-dim relayout: a static take
+            # lowers to a TPU gather (66M vs 175M elem/s at the headline
+            # config) and even contiguous lane slices + concat reach only
+            # 115M — the GEMM is ~10% of the pass, so no K-padding win
+            # can repay a relayout of the whole Hq intermediate.
             W0d = {}
             for s in range(nb):
                 for t_ in range(nb):
                     vs, vt = self.vdim[s], self.vdim[t_]
                     sds, sdt = self.sd[s], self.sd[t_]
                     nds, ndt = self.nd[s], self.nd[t_]
-                    sz = self.nq * sds * sdt * nds * ndt
-                    if sz > 32_000_000:
-                        continue  # fall back to the einsum path
-                    blocked = mxu_cost(vs * vt, self.nq * sds * sdt,
-                                       nds * ndt)
                     ws, wt = self.widths[s], self.widths[t_]
-                    full_fits = (
-                        self.nq * ws * wt * vs * nds * vt * ndt
-                        <= 16_000_000
+                    ns, nt = vs * nds, vt * ndt
+                    diag = s == t_
+                    if self.nq * sds * sdt * nds * ndt > 32_000_000:
+                        continue  # fall back to the einsum path
+                    # vdim-mirror only pays at vdim >= 3 (9 -> 6 rows);
+                    # at vdim=2 the stack/concat relayout outweighs the
+                    # 4 -> 3 row cut (measured 0.71x at p2/2D on a v5e)
+                    m_mult = (
+                        vs * (vs + 1) // 2 if diag and vs >= 3 else vs * vt
                     )
+                    blocked = mxu_cost(m_mult, self.nq * sds * sdt,
+                                       nds * ndt)
+                    full_fits = self.nq * ws * wt * ns * nt <= 16_000_000
                     if full_fits and blocked >= mxu_cost(
-                        1, self.nq * ws * wt, vs * nds * vt * ndt
+                        1, self.nq * ws * wt, ns * nt
                     ):
                         continue  # the full-W GEMM tiles better
                     b0s = np.asarray(B[s][0])
@@ -776,6 +799,12 @@ class ADBlockIntegrator:
 
         Matches the reference's block slicing + MyAddMultABt accumulation
         (ad_intg.hpp:700-727); byNODES flat layout (v*nd + d).
+
+        Contract: for a diagonal pair (s == t_) ``Hq`` must be a true
+        per-qp energy Hessian state (``hess_state`` output) — its
+        diagonal block is symmetric (Schwarz) and the blocked route's
+        vdim-mirror contracts only the upper vdim-block triangle.
+        Off-diagonal pairs make no symmetry assumption.
         """
         t = tables or self.tables
         ne, nq = _ne_nq(t)
@@ -794,6 +823,34 @@ class ADBlockIntegrator:
             vs, vt = self.vdim[s], self.vdim[t_]
             sds, sdt = self.sd[s], self.sd[t_]
             H6 = blk.reshape(ne, nq, vs, sds, vt, sdt)
+            if s == t_ and vs >= 3:
+                # vdim-block mirror: the diagonal pair's Hessian block is
+                # symmetric under the joint (v,a)<->(w,b) swap, so only
+                # the upper vdim-block triangle is contracted
+                # (vs*vt -> vs(vs+1)/2 GEMM rows) and
+                # A[(w,j),(v,i)] = A[(v,i),(w,j)] fills the rest.
+                # Measured on a v5e: 1.22-1.38x at vdim=3 (3D p1-p3);
+                # at vdim=2 the relayout loses (0.71x) — gated above.
+                pairs = [
+                    (a, b) for a in range(vs) for b in range(a, vs)
+                ]
+                Hp = jnp.stack(
+                    [H6[:, :, a, :, b, :] for a, b in pairs], axis=1
+                ).reshape(ne * len(pairs), nq * sds * sdt)
+                Ap = jnp.einsum(
+                    "ek,kj->ej", Hp, t["W0"][key],
+                    precision=jax.lax.Precision.HIGH,
+                ).reshape(ne, len(pairs), self.nd[s], self.nd[t_])
+                blocks = [[None] * vs for _ in range(vs)]
+                for k2, (a, b) in enumerate(pairs):
+                    blocks[a][b] = Ap[:, k2]
+                    if a != b:
+                        blocks[b][a] = jnp.swapaxes(Ap[:, k2], 1, 2)
+                A = jnp.concatenate(
+                    [jnp.concatenate(row, axis=2) for row in blocks],
+                    axis=1,
+                )
+                return A.reshape(ne, nde_s, nde_t)
             Hp = H6.transpose(0, 2, 4, 1, 3, 5).reshape(
                 ne * vs * vt, nq * sds * sdt
             )

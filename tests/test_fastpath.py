@@ -123,8 +123,11 @@ def test_blocked_factors_match_einsum_route(dim, vdim):
 
 def test_blocked_factor_routing_cost_model():
     """The padded-MXU cost model must keep the full-W GEMM at the headline
-    Q1/2D/vdim=2 config (measured 1.65x faster there) and switch to the
-    blocked W0 factor where K/N fill MXU tiles (p2+/vector or 3D)."""
+    Q1/2D/vdim=2 config (measured 1.65x faster there, even against the
+    mirrored vdim-triangle M = 3) and switch to the blocked W0 factor
+    where K/N fill MXU tiles (p2+/vector or 3D), where the diagonal pair
+    contracts only the upper vdim-block triangle (measured 1.27x at
+    p2/3D on a v5e)."""
     from mfem_ad_tpu.ad import NeoHookeanEnergy
 
     # headline config: tiny K/N -> full W, no W0, no R0
@@ -137,7 +140,8 @@ def test_blocked_factor_routing_cost_model():
     assert "0_0" not in i_head.tables["W0"]
     assert "R0" not in i_head.tables
 
-    # p2/3D vector: full W exceeds its cap; blocked W0 must exist
+    # p2/3D vector: full W exceeds its cap; blocked W0 must exist (and
+    # element_matrices mirrors the upper vdim-block triangle)
     m3 = M.make_cartesian_3d(2, 2, 2)
     i_3d = ADBlockIntegrator(
         NeoHookeanEnergy(3, 1.0, 1.0), [FESpace(m3, 2, H1, vdim=3)],
