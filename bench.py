@@ -186,8 +186,12 @@ def _gemm_flops_per_element(intg):
         x_gemm = 2 * nde * nq * w
     if "0_0" in intg.tables.get("W0", {}):
         # blocked-W route (vdim^2 fewer FLOPs than full Bf (x) Bf); the
-        # diagonal pair contracts only the upper vdim-block triangle
-        return x_gemm + 2 * (v * (v + 1) // 2) * (nq * sd * sd) * (nd * nd)
+        # vdim-block mirror (upper triangle only) executes only at
+        # vdim >= 3 — at vdim = 2 the relayout loses and all v^2 row
+        # blocks run (integrator.element_matrices gate), so mirror the
+        # execution gate here (ADVICE r3 #1)
+        m_mult = v * (v + 1) // 2 if v >= 3 else v * v
+        return x_gemm + 2 * m_mult * (nq * sd * sd) * (nd * nd)
     if "0_0" in intg.tables.get("W", {}):
         return x_gemm + 2 * (nq * w * w) * (nde * nde)
     return x_gemm + nq * (2 * nde * w * w + 2 * nde * nde * w)

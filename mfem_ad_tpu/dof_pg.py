@@ -200,10 +200,13 @@ class DofPGIntegrator:
             )
         return rs + out_d
 
-    def hess_state(self, ublocks, fields=None, tables=None, fast: bool = True):
+    def hess_state(self, ublocks, fields=None, tables=None, fast: bool = True,
+                   sym: bool = False):
         t = tables or self.tables
         fields = fields or {}
-        Hq = self.inner.hess_state(ublocks[: self.np_], fields, t["inner"], fast)
+        Hq = self.inner.hess_state(
+            ublocks[: self.np_], fields, t["inner"], fast, sym=sym
+        )
         alpha = self._alpha(fields)
         d2s = []
         for i in range(self.np_):

@@ -30,12 +30,15 @@ across a device mesh with ``shard_map`` and reduce with ``psum``.
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from .ad import ADFunction
+from .ad import ADFunction, ADVectorFunction
 from .adeval import ADEval, build_B, shapedim
 from .coefficients import (
     Coefficient,
@@ -51,6 +54,105 @@ from .quadrature import default_ad_order, get_rule
 def qpmap(fn):
     """vmap a per-qp function over [ne, nq] leading dims (pytree-aware)."""
     return jax.vmap(jax.vmap(fn))
+
+
+# ---------------------------------------------------------------------------
+# Compact symmetric Hessian state
+#
+# The per-qp energy Hessian Hq is symmetric (Schwarz), so the Newton state
+# read by EVERY Krylov matvec of a solve carries n(n-1)/2 redundant entries:
+# 16 -> 10 at n=4 (ex4/ex5 LVPP), 81 -> 45 at n=9 (3D elasticity).  The
+# matvec is HBM-bound (measured ~0.18 ms/apply at ex4 ref-3 on a v5e, round
+# 3), so storing the upper triangle [ne, nq, K], K = n(n+1)/2, and applying
+# it with static selector matmuls cuts the dominant traffic term ~1.6-1.8x.
+# Matches the storage discipline of the reference's hot loop, which fills
+# only the symmetric half per qp (ad_native.cpp:211-230, ad_intg.hpp:
+# 260-334).
+#
+# The ASSEMBLY route keeps the full tensor: round 3 measured that a
+# triangle relayout inside the one-shot A = H @ W pass loses 1.5-2.6x (the
+# extraction is a minor-dim relayout of the whole intermediate, see the
+# W0/Wsym note below).  Here the relayout is paid ONCE per Newton direction
+# (hess_state) and repaid every Krylov iteration.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _tri_maps(n: int):
+    """Static maps for the packed upper triangle of a symmetric n x n.
+
+    Returns (SU, SL, SUo, expand):
+      SU  [n, K]  SU[a_k, k] = 1      (row selector of pair k = (a_k, b_k))
+      SL  [n, K]  SL[b_k, k] = 1      (col selector)
+      SUo [n, K]  SU with diagonal pairs (a_k == b_k) zeroed
+      expand [n*n] int32: flat (i, j) -> packed index of (min, max)
+    """
+    pairs = [(a, b) for a in range(n) for b in range(a, n)]
+    K = len(pairs)
+    SU = np.zeros((n, K))
+    SL = np.zeros((n, K))
+    SUo = np.zeros((n, K))
+    ki = {}
+    for k, (a, b) in enumerate(pairs):
+        SU[a, k] = 1.0
+        SL[b, k] = 1.0
+        if a != b:
+            SUo[a, k] = 1.0
+        ki[(a, b)] = k
+    expand = np.empty(n * n, np.int32)
+    for i in range(n):
+        for j in range(n):
+            expand[i * n + j] = ki[(min(i, j), max(i, j))]
+    return SU, SL, SUo, expand
+
+
+@jax.tree_util.register_pytree_node_class
+class SymHess:
+    """Packed symmetric per-qp Hessian state: upper triangle [ne, nq, K].
+
+    Produced by ``hess_state(..., sym=True)`` (the Newton-state path,
+    forms.grad_state_raw); consumed natively by ``hess_mult`` (compact
+    matvec) and expanded on demand by ``diagonal``/``element_matrices``.
+    Registered as a pytree so it crosses jit/shard_map boundaries like the
+    plain array it replaces (the element axis stays dim 0 for sharding).
+    """
+
+    def __init__(self, tri, n: int):
+        self.tri = tri
+        self.n = int(n)
+
+    def tree_flatten(self):
+        return (self.tri,), self.n
+
+    @classmethod
+    def tree_unflatten(cls, n, children):
+        return cls(children[0], n)
+
+    @property
+    def shape(self):
+        ne, nq = self.tri.shape[0], self.tri.shape[1]
+        return (ne, nq, self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self.tri.dtype
+
+    def full(self):
+        """Expand to the full [ne, nq, n, n] tensor (static minor-dim
+        take; once-per-direction consumers only — never in the matvec)."""
+        n = self.n
+        expand = _tri_maps(n)[3]
+        out = self.tri[..., expand]
+        return out.reshape(self.tri.shape[:-1] + (n, n))
+
+
+def sym_state_default() -> bool:
+    """Policy: pack the Newton state symmetric-compact (default on).
+
+    Env override MFEM_AD_TPU_SYM_STATE=0; read at trace time, so flips
+    after a form's jit cache is warm do not retroactively apply.
+    """
+    return os.environ.get("MFEM_AD_TPU_SYM_STATE", "1") != "0"
 
 
 def _dedup_elements(arr: np.ndarray) -> np.ndarray:
@@ -334,6 +436,19 @@ class ADBlockIntegrator:
                 f"energy n_input={f.n_input} but input layout has width "
                 f"{self.n_input} (widths per space: {self.widths})"
             )
+        # Vector point-functions as integrands (reference aliasing
+        # Gradient -> evaluate, Hessian -> Jacobian, ad_native.hpp:233-248):
+        # the per-qp "gradient" is F(x) itself (a pointwise flux defining
+        # the weak residual r = scatter(B F(B^T u) w)) and the Newton state
+        # is the Jacobian dF/dx — generally NONsymmetric, so the
+        # symmetric-only routes (SymHess packing, the vdim-block mirror)
+        # are disabled for these integrands.
+        self.vector_fn = isinstance(f, ADVectorFunction)
+        if self.vector_fn and f.n_output != self.n_input:
+            raise ValueError(
+                f"vector integrand n_output={f.n_output} must equal the "
+                f"input layout width {self.n_input} (ad_native.hpp:233-248)"
+            )
         for s, m in zip(spaces, modes):
             if s.vdim > 1 and not (m & ADEval.VECTOR):
                 raise ValueError("vdim > 1 requires ADEval.VECTOR")
@@ -495,7 +610,9 @@ class ADBlockIntegrator:
                     # at vdim=2 the stack/concat relayout outweighs the
                     # 4 -> 3 row cut (measured 0.71x at p2/2D on a v5e)
                     m_mult = (
-                        vs * (vs + 1) // 2 if diag and vs >= 3 else vs * vt
+                        vs * (vs + 1) // 2
+                        if diag and vs >= 3 and not self.vector_fn
+                        else vs * vt
                     )
                     blocked = mxu_cost(m_mult, self.nq * sds * sdt,
                                        nds * ndt)
@@ -691,6 +808,11 @@ class ADBlockIntegrator:
 
     # ------------------------------------------------------------------
     def energy(self, ublocks, fields=None, tables=None, fast: bool = True):
+        if self.vector_fn:
+            raise ValueError(
+                "vector integrands have no scalar energy "
+                "(ad_native.hpp:233-248 aliases only Gradient/Hessian)"
+            )
         t = tables or self.tables
         x = self.x_qp(ublocks, t, fast)
         p = self.eval_params(fields or {}, t, fast)
@@ -698,11 +820,15 @@ class ADBlockIntegrator:
         return jnp.sum(vals * t["w"])
 
     def residual(self, ublocks, fields=None, tables=None, fast: bool = True):
-        """Per-block residual vectors: r_s = scatter(B_s (grad f) w)."""
+        """Per-block residual vectors: r_s = scatter(B_s (grad f) w).
+
+        For a vector integrand, grad f := F(x) (the reference's aliasing,
+        ad_native.hpp:233-248)."""
         t = tables or self.tables
         x = self.x_qp(ublocks, t, fast)
         p = self.eval_params(fields or {}, t, fast)
-        g = qpmap(jax.grad(self.f.energy))(x, p) * t["w"][..., None]
+        pt = self.f.function if self.vector_fn else jax.grad(self.f.energy)
+        g = qpmap(pt)(x, p) * t["w"][..., None]
         return [
             self.scatter(s, self._re_from_g(g, s, t), t, fast)
             for s in range(len(self.spaces))
@@ -725,19 +851,57 @@ class ADBlockIntegrator:
             return re.reshape(ne, self.vdim[s], self.nd[s]).transpose(0, 2, 1)
         return _r_from_g(t["B"][s], self.spread(g, s))
 
-    def hess_state(self, ublocks, fields=None, tables=None, fast: bool = True):
-        """Per-qp weighted Hessian Hq [ne, nq, n, n] — the Newton state."""
+    def hess_state(self, ublocks, fields=None, tables=None, fast: bool = True,
+                   sym: bool = False):
+        """Per-qp weighted Hessian — the Newton state.
+
+        ``sym=False``: full Hq [ne, nq, n, n] (the assembly route input).
+        ``sym=True``: packed ``SymHess`` upper triangle [ne, nq, n(n+1)/2]
+        — ~1.6-1.8x less HBM traffic in every downstream Krylov matvec
+        (the true hot loop of LVPP/Newton solves); the pack relayout is
+        paid once per Newton direction.
+        """
         t = tables or self.tables
         x = self.x_qp(ublocks, t, fast)
         p = self.eval_params(fields or {}, t, fast)
+        if self.vector_fn:
+            # Hessian := Jacobian dF/dx (ad_native.hpp:233-248) — not
+            # symmetric in general, so never packed
+            H = qpmap(jax.jacfwd(self.f.function))(x, p)
+            return H * t["w"][..., None, None]
         H = qpmap(jax.jacfwd(jax.grad(self.f.energy)))(x, p)
-        return H * t["w"][..., None, None]
+        if not sym:
+            return H * t["w"][..., None, None]
+        n = self.n_input
+        pairs = [(a, b) for a in range(n) for b in range(a, n)]
+        flat = jnp.asarray([a * n + b for a, b in pairs], dtype=jnp.int32)
+        tri = H.reshape(H.shape[:2] + (n * n,))[..., flat]
+        return SymHess(tri * t["w"][..., None], n)
 
     def hess_mult(self, Hq, vblocks, tables=None, fast: bool = True):
-        """Matrix-free J v: scatter(B (Hq (B^T v)))."""
+        """Matrix-free J v: scatter(B (Hq (B^T v))).
+
+        ``SymHess`` state applies the packed triangle directly:
+            g1[k] = xv[b_k],  g2[k] = xv[a_k] (off-diagonal pairs only)
+            Hxv   = (tri*g1) @ SU^T + (tri*g2) @ SL^T
+        — two elementwise products + four tiny static matmuls whose
+        [ne*nq] batch rides the GEMM M dimension; the per-iteration HBM
+        read of the state drops from n^2 to n(n+1)/2 entries per qp.
+        """
         t = tables or self.tables
         xv = self.x_qp(vblocks, t, fast)
-        Hxv = jnp.einsum("eqnm,eqm->eqn", Hq, xv)
+        if isinstance(Hq, SymHess):
+            SU, SL, SUo, _ = _tri_maps(Hq.n)
+            dt = xv.dtype
+            SUj = jnp.asarray(SU, dtype=dt)
+            SLj = jnp.asarray(SL, dtype=dt)
+            SUoj = jnp.asarray(SUo, dtype=dt)
+            tri = Hq.tri
+            g1 = xv @ SLj  # [ne, nq, K] = xv[b_k]
+            g2 = xv @ SUoj  # xv[a_k], zeroed on diagonal pairs
+            Hxv = (tri * g1) @ SUj.T + (tri * g2) @ SLj.T
+        else:
+            Hxv = jnp.einsum("eqnm,eqm->eqn", Hq, xv)
         return [
             self.scatter(s, self._re_from_g(Hxv, s, t), t, fast)
             for s in range(len(self.spaces))
@@ -746,6 +910,8 @@ class ADBlockIntegrator:
     def diagonal(self, Hq, tables=None, fast: bool = True):
         """Per-block diagonal of the assembled Jacobian (for Jacobi PC)."""
         t = tables or self.tables
+        if isinstance(Hq, SymHess):
+            Hq = Hq.full()  # once per Newton direction, not per matvec
         ne, nq = _ne_nq(t)
         out = []
         for s in range(len(self.spaces)):
@@ -804,9 +970,12 @@ class ADBlockIntegrator:
         per-qp energy Hessian state (``hess_state`` output) — its
         diagonal block is symmetric (Schwarz) and the blocked route's
         vdim-mirror contracts only the upper vdim-block triangle.
-        Off-diagonal pairs make no symmetry assumption.
+        Off-diagonal pairs make no symmetry assumption.  ``SymHess`` state
+        is expanded here (exactly symmetric by construction).
         """
         t = tables or self.tables
+        if isinstance(Hq, SymHess):
+            Hq = Hq.full()
         ne, nq = _ne_nq(t)
         os_, ot = self.x_off[s], self.x_off[t_]
         nde_s = self.vdim[s] * self.nd[s]
@@ -823,7 +992,31 @@ class ADBlockIntegrator:
             vs, vt = self.vdim[s], self.vdim[t_]
             sds, sdt = self.sd[s], self.sd[t_]
             H6 = blk.reshape(ne, nq, vs, sds, vt, sdt)
-            if s == t_ and vs >= 3:
+            if (
+                s == t_ and vs >= 3
+                and os.environ.get("MFEM_AD_TPU_CHECK") == "1"
+            ):
+                # debug-mode guard (ADVICE r3): the mirror route below
+                # contracts only the upper vdim-block triangle and relies
+                # on Schwarz symmetry of the diagonal pair; a caller-built
+                # asymmetric state would get silently wrong lower blocks.
+                asym = jnp.max(
+                    jnp.abs(H6 - H6.transpose(0, 1, 4, 5, 2, 3))
+                )
+                scale = jnp.maximum(jnp.max(jnp.abs(H6)), 1e-30)
+                jax.debug.callback(
+                    lambda a, s_: (
+                        print(
+                            "[mfem_ad_tpu] WARNING: asymmetric diagonal "
+                            f"Hessian block (rel {a / s_:.2e}) fed to the "
+                            "vdim-mirror assembly route"
+                        )
+                        if a > 1e-8 * s_
+                        else None
+                    ),
+                    asym, scale,
+                )
+            if s == t_ and vs >= 3 and not self.vector_fn:
                 # vdim-block mirror: the diagonal pair's Hessian block is
                 # symmetric under the joint (v,a)<->(w,b) swap, so only
                 # the upper vdim-block triangle is contracted

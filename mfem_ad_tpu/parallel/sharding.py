@@ -324,8 +324,15 @@ class ShardedForm:
         edof (never element-deduped); ``w`` may be shared with shape
         [1, nq] on uniform meshes and must not be used for the trim.
         """
+        from ..integrator import SymHess
+
+        def trim(Hq, ne_true):
+            if isinstance(Hq, SymHess):
+                return SymHess(np.asarray(Hq.tri)[:ne_true], Hq.n)
+            return np.asarray(Hq)[:ne_true]
+
         serial_state = [
-            np.asarray(Hq)[: intg.tables["edof"][0].shape[0]]
+            trim(Hq, intg.tables["edof"][0].shape[0])
             for intg, Hq in zip(self.form.integrators, state)
         ]
         return self.form.assemble_dense(serial_state)
