@@ -44,27 +44,54 @@ def main():
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="write a jax.profiler device trace to LOGDIR "
                          "and print the per-phase cost table (SURVEY §5)")
+    ap.add_argument("--dof-pg", action="store_true",
+                    help="DOF-level PG variant (reference dof_pg.hpp): "
+                         "entropy coupling at the H1 nodal points, L2 dual "
+                         "of equal order; use modest -r (the saddle "
+                         "conditioning grows like alpha x E*'' saturation)")
+    ap.add_argument("--spatial-bound", action="store_true",
+                    help="with --dof-pg: upper bound 0.3 + 0.2 x as a "
+                         "GridFunction-backed entropy parameter "
+                         "(pg.hpp:281-322 Coefficient bounds)")
     args = ap.parse_args()
 
     with profiling.trace(args.profile):
-        res, pb = obstacle.solve(
-            order=args.order,
-            ref_levels=args.ref,
-            dim=args.dim,
-            rule_type=args.rule,
-            alpha0=args.alpha0,
-            max_alpha=args.max_alpha,
-            ratio=args.alpha_ratio,
-            ratio2=args.alpha_ratio2,
-            lin_solver=args.solver,
-            verbose=True,
-        )
+        if args.dof_pg:
+            res, pb = obstacle.solve_dofpg(
+                order=args.order,
+                ref_levels=args.ref,
+                dim=args.dim,
+                rule_type=args.rule,
+                alpha0=args.alpha0,
+                max_alpha=args.max_alpha,
+                ratio=args.alpha_ratio,
+                ratio2=args.alpha_ratio2,
+                lin_solver=("minres" if args.solver == "schur"
+                            else args.solver),
+                spatial_bound=args.spatial_bound,
+                tol=1e-6,
+                verbose=True,
+            )
+        else:
+            res, pb = obstacle.solve(
+                order=args.order,
+                ref_levels=args.ref,
+                dim=args.dim,
+                rule_type=args.rule,
+                alpha0=args.alpha0,
+                max_alpha=args.max_alpha,
+                ratio=args.alpha_ratio,
+                ratio2=args.alpha_ratio2,
+                lin_solver=args.solver,
+                verbose=True,
+            )
     u = np.asarray(res.x[: pb.primal_space.ndof])
     print(
         f"PG {'converged' if res.converged else 'stopped'} in "
         f"{res.iterations} iterations, final lambda diff {res.lambda_diff:.3e}"
     )
-    print(f"u range: [{u.min():.6f}, {u.max():.6f}] (bounds [0, 0.5])")
+    ub = "0.3 + 0.2 x" if args.spatial_bound else "0.5"
+    print(f"u range: [{u.min():.6f}, {u.max():.6f}] (bounds [0, {ub}])")
     if args.profile:
         profiling.print_cost_table()
     maybe_export(

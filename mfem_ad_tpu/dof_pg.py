@@ -94,15 +94,21 @@ class DofPGIntegrator:
         mesh = primal_spaces[0].mesh
 
         wn, edof_p, edof_d, nodes_xq = [], [], [], []
-        for ps, ds in zip(primal_spaces, dual_spaces):
+        for ps, ds, e in zip(primal_spaces, dual_spaces, entropies):
             if ps.nd != ds.nd:
                 raise ValueError(
                     "primal and dual elements must have the same dof count "
                     f"({ps.nd} != {ds.nd}) — dof_pg.hpp:46-48"
                 )
-            if ds.vdim != 1 or ps.vdim != 1:
+            if ds.vdim != ps.vdim:
                 raise ValueError(
-                    "DofPG coupling requires scalar primal/dual spaces"
+                    "DofPG coupling pairs components pointwise: primal and "
+                    f"dual vdim must match ({ps.vdim} != {ds.vdim})"
+                )
+            if e.n_input != ps.vdim:
+                raise ValueError(
+                    f"entropy n_input={e.n_input} must equal the pair's "
+                    f"vdim={ps.vdim} (one nodal vector per node)"
                 )
             nodes = ps.elem.nodes
             ir_nodes = IntegrationRule(mesh.geom, nodes, np.zeros(len(nodes)))
@@ -115,21 +121,49 @@ class DofPGIntegrator:
             edof_p.append(jnp.asarray(ps.edof, dtype=jnp.int32))
             edof_d.append(jnp.asarray(ds.edof, dtype=jnp.int32))
 
-        # entropy parameters evaluated at the nodal points (static only;
-        # runtime alpha comes through fields)
+        # entropy parameters at the nodal points.  Constant/function
+        # coefficients tabulate now; GridFunction-backed ones (the
+        # reference's Coefficient-valued bounds, pg.hpp:281-322) tabulate
+        # their basis at the nodal points and are interpolated from the
+        # runtime field vector on every call — same no-retrace design as
+        # the inner integrator's Evaluator fields.
         static = []
+        efield = []
+        self._efield_names: list[dict] = []
         for i, (e, xq) in enumerate(zip(entropies, nodes_xq)):
             ctx = QPContext(xq)
             p = {}
+            ftab = {}
+            efnames: dict[str, str] = {}
             for name, coeff in e.params.items():
-                if isinstance(
-                    coeff, (GridFunctionCoefficient, ScalarFieldCoefficient)
-                ):
-                    raise NotImplementedError(
-                        "field-backed entropy parameters in DofPG"
+                if isinstance(coeff, GridFunctionCoefficient):
+                    sp = coeff.space
+                    if sp.mesh is not mesh:
+                        raise ValueError(
+                            f"entropy field {name!r} lives on another mesh"
+                        )
+                    # nodal points of THIS pair's primal element, on the
+                    # param space's basis: phi [nd_nodes, nd_param]
+                    phi = jnp.asarray(
+                        sp.elem.eval(primal_spaces[i].elem.nodes),
+                        dtype=self.dtype,
                     )
-                p[name] = jnp.asarray(coeff.eval_qp(ctx), dtype=self.dtype)
+                    ftab[name] = (
+                        jnp.asarray(sp.edof, dtype=jnp.int32),
+                        phi,
+                    )
+                    efnames[name] = (
+                        "gf", coeff.name, sp.vdim, sp.ndof_scalar,
+                    )
+                elif isinstance(coeff, ScalarFieldCoefficient):
+                    efnames[name] = ("scalar", coeff.name, coeff.size, 0)
+                else:
+                    p[name] = jnp.asarray(
+                        coeff.eval_qp(ctx), dtype=self.dtype
+                    )
             static.append(p)
+            efield.append(ftab)
+            self._efield_names.append(efnames)
 
         self.tables = {
             "inner": self.inner.tables,
@@ -137,25 +171,58 @@ class DofPGIntegrator:
             "edof_p": tuple(edof_p),
             "edof_d": tuple(edof_d),
             "static": tuple(static),
+            "efield": tuple(efield),
         }
         self.field_kinds = dict(self.inner.field_kinds)
 
     # -- helpers ---------------------------------------------------------
+    def _gather_pair(self, i, ub, t, dual: bool):
+        """Nodal values [ne, nd, v] of a pair's flat byNODES dof block."""
+        sp = (self.dual_spaces if dual else self.primal_spaces)[i]
+        ed = t["edof_d" if dual else "edof_p"][i]
+        ub = jnp.asarray(ub, dtype=self.dtype)
+        if sp.vdim == 1:
+            return ub[ed][..., None]
+        return ub.reshape(sp.vdim, sp.ndof_scalar)[:, ed].transpose(1, 2, 0)
+
+    def _scatter_pair(self, i, re, t, dual: bool):
+        """Adjoint of ``_gather_pair``: [ne, nd, v] -> flat [v*nds]."""
+        sp = (self.dual_spaces if dual else self.primal_spaces)[i]
+        ed = t["edof_d" if dual else "edof_p"][i]
+        v, nds = sp.vdim, sp.ndof_scalar
+        out = jnp.zeros((v, nds), re.dtype).at[:, ed].add(
+            re.transpose(2, 0, 1)
+        )
+        return out.reshape(-1)
+
     def _latent_k_nodes(self, i, fields, t):
-        lk = fields[f"latent_k{i}"]
-        return jnp.asarray(lk, dtype=self.dtype)[t["edof_d"][i]]  # [ne, nd]
+        return self._gather_pair(i, fields[f"latent_k{i}"], t, dual=True)
 
-    def _entropy_d(self, i, psi, t):
-        """E*', E*'' at nodal psi values [ne, nd]."""
+    def _entropy_params_nodes(self, i, fields, t):
+        """Per-node entropy parameter dict, leaves [ne, nd, k]: static
+        tabulations merged with runtime-field interpolations (the
+        reference's Coefficient-valued entropy params, pg.hpp:281-322)."""
+        p = dict(t["static"][i])
+        ne, nd = t["wn"][i].shape
+        for name, (kind, fname, pv, pnds) in self._efield_names[i].items():
+            val = jnp.asarray(fields[fname], dtype=self.dtype)
+            if kind == "scalar":
+                p[name] = jnp.broadcast_to(
+                    val.reshape(-1), (ne, nd, max(pv, 1))
+                )
+                continue
+            ed, phi = t["efield"][i][name]
+            ue = val.reshape(pv, pnds)[:, ed]  # [pv, ne, nd_param]
+            p[name] = jnp.einsum("jd,ved->evj", phi, ue).transpose(0, 2, 1)
+        return p
+
+    def _entropy_d(self, i, psi, fields, t):
+        """E*', E*'' at nodal psi vectors [ne, nd, v]."""
         e = self.entropies[i]
-        p = t["static"][i]
-
-        def scalar(v, pj):
-            return e.energy(jnp.array([v]), pj)
-
-        d1 = jax.vmap(jax.vmap(jax.grad(scalar)))(psi, p)
-        d2 = jax.vmap(jax.vmap(jax.grad(jax.grad(scalar))))(psi, p)
-        return d1, d2
+        p = self._entropy_params_nodes(i, fields, t)
+        d1 = jax.vmap(jax.vmap(jax.grad(e.energy)))(psi, p)
+        d2 = jax.vmap(jax.vmap(jax.jacfwd(jax.grad(e.energy))))(psi, p)
+        return d1, d2  # [ne, nd, v], [ne, nd, v, v]
 
     def _alpha(self, fields):
         return jnp.asarray(fields["alpha"], dtype=self.dtype)
@@ -168,15 +235,13 @@ class DofPGIntegrator:
         alpha = self._alpha(fields)
         pg = 0.0
         for i in range(self.np_):
-            u = ublocks[i][t["edof_p"][i]]  # nodal primal values [ne, nd]
-            psi = ublocks[self.np_ + i][t["edof_d"][i]]
+            u = self._gather_pair(i, ublocks[i], t, dual=False)
+            psi = self._gather_pair(i, ublocks[self.np_ + i], t, dual=True)
             psik = self._latent_k_nodes(i, fields, t)
-            estar = jax.vmap(
-                jax.vmap(lambda v, pj: self.entropies[i].energy(
-                    jnp.array([v]), pj
-                ))
-            )(psi, t["static"][i])
-            pg = pg + jnp.sum((u * (psi - psik) - estar) * t["wn"][i])
+            p = self._entropy_params_nodes(i, fields, t)
+            estar = jax.vmap(jax.vmap(self.entropies[i].energy))(psi, p)
+            cross = jnp.sum(u * (psi - psik), axis=-1)
+            pg = pg + jnp.sum((cross - estar) * t["wn"][i])
         return e + pg / alpha
 
     def residual(self, ublocks, fields=None, tables=None, fast: bool = True):
@@ -186,18 +251,15 @@ class DofPGIntegrator:
         alpha = self._alpha(fields)
         out_d = []
         for i in range(self.np_):
-            w = t["wn"][i] / alpha
-            u = ublocks[i][t["edof_p"][i]]
-            psi = ublocks[self.np_ + i][t["edof_d"][i]]
+            w = (t["wn"][i] / alpha)[..., None]
+            u = self._gather_pair(i, ublocks[i], t, dual=False)
+            psi = self._gather_pair(i, ublocks[self.np_ + i], t, dual=True)
             psik = self._latent_k_nodes(i, fields, t)
-            d1, _ = self._entropy_d(i, psi, t)
-            rp = (psi - psik) * w  # [ne, nd] into primal dofs
+            d1, _ = self._entropy_d(i, psi, fields, t)
+            rp = (psi - psik) * w  # [ne, nd, v] into primal dofs
             rd = (u - d1) * w
-            rs[i] = rs[i] + jnp.zeros_like(rs[i]).at[t["edof_p"][i]].add(rp)
-            nd_dofs = self.dual_spaces[i].ndof
-            out_d.append(
-                jnp.zeros(nd_dofs, dtype=rd.dtype).at[t["edof_d"][i]].add(rd)
-            )
+            rs[i] = rs[i] + self._scatter_pair(i, rp, t, dual=False)
+            out_d.append(self._scatter_pair(i, rd, t, dual=True))
         return rs + out_d
 
     def hess_state(self, ublocks, fields=None, tables=None, fast: bool = True,
@@ -210,10 +272,18 @@ class DofPGIntegrator:
         alpha = self._alpha(fields)
         d2s = []
         for i in range(self.np_):
-            psi = ublocks[self.np_ + i][t["edof_d"][i]]
-            _, d2 = self._entropy_d(i, psi, t)
-            d2s.append((t["wn"][i] / alpha, -d2 * t["wn"][i] / alpha))
+            psi = self._gather_pair(i, ublocks[self.np_ + i], t, dual=True)
+            _, d2 = self._entropy_d(i, psi, fields, t)
+            wn = t["wn"][i] / alpha  # [ne, nd]
+            d2s.append((wn, -d2 * wn[..., None, None]))
         return (Hq, tuple(d2s))
+
+    def state_spec(self, axis: str):
+        """shard_map spec pytree matching ``hess_state``'s (Hq, d2s)
+        output: delegate the inner state, element-leading d2s leaves."""
+        from jax.sharding import PartitionSpec as P
+
+        return (self.inner.state_spec(axis), P(axis))
 
     def hess_mult(self, state, vblocks, tables=None, fast: bool = True):
         t = tables or self.tables
@@ -221,17 +291,14 @@ class DofPGIntegrator:
         ys = self.inner.hess_mult(Hq, vblocks[: self.np_], t["inner"], fast)
         out_d = []
         for i in range(self.np_):
-            w, dd = d2s[i]
-            vp = vblocks[i][t["edof_p"][i]]
-            vd = vblocks[self.np_ + i][t["edof_d"][i]]
-            ys[i] = ys[i] + jnp.zeros_like(ys[i]).at[t["edof_p"][i]].add(
-                vd * w
+            w, dd = d2s[i]  # [ne, nd], [ne, nd, v, v]
+            vp = self._gather_pair(i, vblocks[i], t, dual=False)
+            vd = self._gather_pair(i, vblocks[self.np_ + i], t, dual=True)
+            ys[i] = ys[i] + self._scatter_pair(
+                i, vd * w[..., None], t, dual=False
             )
-            rd = vp * w + vd * dd
-            nd_dofs = self.dual_spaces[i].ndof
-            out_d.append(
-                jnp.zeros(nd_dofs, dtype=rd.dtype).at[t["edof_d"][i]].add(rd)
-            )
+            rd = vp * w[..., None] + jnp.einsum("envw,enw->env", dd, vd)
+            out_d.append(self._scatter_pair(i, rd, t, dual=True))
         return ys + out_d
 
     def diagonal(self, state, tables=None, fast: bool = True):
@@ -240,13 +307,9 @@ class DofPGIntegrator:
         ds = self.inner.diagonal(Hq, t["inner"], fast)
         out_d = []
         for i in range(self.np_):
-            _, dd = d2s[i]
-            nd_dofs = self.dual_spaces[i].ndof
-            out_d.append(
-                jnp.zeros(nd_dofs, dtype=dd.dtype)
-                .at[t["edof_d"][i]]
-                .add(dd)
-            )
+            _, dd = d2s[i]  # [ne, nd, v, v]
+            ddiag = jnp.diagonal(dd, axis1=2, axis2=3)  # [ne, nd, v]
+            out_d.append(self._scatter_pair(i, ddiag, t, dual=True))
         return ds + out_d
 
     def element_matrices(self, state, s, t_, tables=None):
@@ -254,35 +317,41 @@ class DofPGIntegrator:
         Hq, d2s = state
         npq = self.np_
 
-        def diagmats(vals):  # [ne, nd] -> [ne, nd, nd]
-            nd = vals.shape[1]
-            return vals[:, :, None] * jnp.eye(nd, dtype=vals.dtype)
+        def coupling(wvals, v):
+            """[ne, nd] node weights -> [ne, v*nd, v*nd] byNODES blocks
+            (node-diagonal, component-diagonal)."""
+            ne, nd = wvals.shape
+            D = wvals[:, :, None] * jnp.eye(nd, dtype=wvals.dtype)
+            A = jnp.einsum("vw,eij->eviwj", jnp.eye(v, dtype=wvals.dtype), D)
+            return A.reshape(ne, v * nd, v * nd)
+
+        def dualdual(dd):
+            """[ne, nd, v, v] -> [ne, v*nd, v*nd] node-diagonal blocks."""
+            ne, nd, v, _ = dd.shape
+            E = jnp.eye(nd, dtype=dd.dtype)
+            A = jnp.einsum("eivw,ij->eviwj", dd, E)
+            return A.reshape(ne, v * nd, v * nd)
 
         if s < npq and t_ < npq:
-            A = self.inner.element_matrices(Hq, s, t_, t["inner"])
-            if s == t_:
-                # primal-primal has no nodal part (coupling is off-diagonal)
-                pass
-            return A
+            # primal-primal has no nodal part (coupling is off-diagonal)
+            return self.inner.element_matrices(Hq, s, t_, t["inner"])
         ne = t["wn"][0].shape[0]
+        nde_s = self.spaces[s].nd * self.spaces[s].vdim
+        nde_t = self.spaces[t_].nd * self.spaces[t_].vdim
         if s < npq and t_ >= npq:
             i = t_ - npq
             if s == i:
-                return diagmats(d2s[i][0])
-            return jnp.zeros(
-                (ne, self.spaces[s].nd * self.spaces[s].vdim, self.spaces[t_].nd)
-            )
+                return coupling(d2s[i][0], self.spaces[s].vdim)
+            return jnp.zeros((ne, nde_s, nde_t))
         if s >= npq and t_ < npq:
             i = s - npq
             if t_ == i:
-                return diagmats(d2s[i][0])
-            return jnp.zeros(
-                (ne, self.spaces[s].nd, self.spaces[t_].nd * self.spaces[t_].vdim)
-            )
+                return coupling(d2s[i][0], self.spaces[s].vdim)
+            return jnp.zeros((ne, nde_s, nde_t))
         i, j = s - npq, t_ - npq
         if i == j:
-            return diagmats(d2s[i][1])
-        return jnp.zeros((ne, self.spaces[s].nd, self.spaces[t_].nd))
+            return dualdual(d2s[i][1])
+        return jnp.zeros((ne, nde_s, nde_t))
 
     def assemble_dense_block(self, state, s, t_):
         Ae = np.asarray(self.element_matrices(state, s, t_))
@@ -324,5 +393,9 @@ class DofPGIntegrator:
             "edof_d": tuple(padel(e) for e in t["edof_d"]),
             "static": tuple(
                 {k: padel(v) for k, v in p.items()} for p in t["static"]
+            ),
+            "efield": tuple(
+                {k: (padel(ed), phi) for k, (ed, phi) in f.items()}
+                for f in t["efield"]
             ),
         }

@@ -108,21 +108,34 @@ def _tri_maps(n: int):
 
 @jax.tree_util.register_pytree_node_class
 class SymHess:
-    """Packed symmetric per-qp Hessian state: upper triangle [ne, nq, K].
+    """Packed symmetric per-qp Hessian state: triangle PLANES [K, ne, nq]
+    (K = n(n+1)/2, pair order (a, b), a <= b).
+
+    The plane-major layout is the one XLA NATURALLY materializes for the
+    jacfwd Hessian on TPU (measured round 4: the jitted state comes back
+    with ``major_to_minor=(2, 3, 1, 0)`` — (n, m) major, batch minor), so
+    both the state write and every matvec read are layout-native.  The
+    round-4 first attempt stored the triangle batch-major ``[ne, nq, K]``
+    and applied it with selector matmuls: on-chip it measured **0.29x**
+    (ex4) because each einsum/matmul against the batch-minor physical
+    layout relaid out the whole state per Krylov iteration — 196 ms of a
+    198 ms elast3d matvec was that relayout.  The plane-major unrolled-FMA
+    apply below measures ~2 ms on the same case (~100x).
 
     Produced by ``hess_state(..., sym=True)`` (the Newton-state path,
-    forms.grad_state_raw); consumed natively by ``hess_mult`` (compact
-    matvec) and expanded on demand by ``diagonal``/``element_matrices``.
-    Registered as a pytree so it crosses jit/shard_map boundaries like the
-    plain array it replaces (the element axis stays dim 0 for sharding).
+    forms.grad_state_raw); consumed natively by ``hess_mult`` (full-lane
+    elementwise FMA chains) and expanded once per Newton direction by
+    ``diagonal``/``element_matrices``.  Registered as a pytree so it
+    crosses jit/shard_map boundaries; the ELEMENT axis is dim 1 of the
+    planes — sharded forms spec it as P(None, axis).
     """
 
-    def __init__(self, tri, n: int):
-        self.tri = tri
+    def __init__(self, planes, n: int):
+        self.planes = planes
         self.n = int(n)
 
     def tree_flatten(self):
-        return (self.tri,), self.n
+        return (self.planes,), self.n
 
     @classmethod
     def tree_unflatten(cls, n, children):
@@ -130,20 +143,22 @@ class SymHess:
 
     @property
     def shape(self):
-        ne, nq = self.tri.shape[0], self.tri.shape[1]
+        ne, nq = self.planes.shape[1], self.planes.shape[2]
         return (ne, nq, self.n, self.n)
 
     @property
     def dtype(self):
-        return self.tri.dtype
+        return self.planes.dtype
 
     def full(self):
-        """Expand to the full [ne, nq, n, n] tensor (static minor-dim
-        take; once-per-direction consumers only — never in the matvec)."""
+        """Expand to the full [ne, nq, n, n] tensor (leading-dim gather of
+        the planes; once-per-direction consumers only — never in the
+        matvec)."""
         n = self.n
         expand = _tri_maps(n)[3]
-        out = self.tri[..., expand]
-        return out.reshape(self.tri.shape[:-1] + (n, n))
+        out = self.planes[expand]  # [n*n, ne, nq]
+        out = out.reshape((n, n) + self.planes.shape[1:])
+        return jnp.moveaxis(out, (0, 1), (2, 3))
 
 
 def sym_state_default() -> bool:
@@ -214,6 +229,45 @@ def _meta_ne(meta, nds: int, nd: int) -> int:
         return nds // nd
     ne = int(np.prod(meta[1]))
     return 2 * ne if meta[0] == "h1t" else ne
+
+
+def _halo_local_meta(meta, K: int):
+    """Shard-local grid meta for a K-way band partition along the
+    element-major grid axis (dof-grid dim 0: Y in 2D, X in 3D — the axis
+    the element ordering is outer-major in, fespace.py lattice builders).
+
+    Shard k owns the cell band [k*n_loc, (k+1)*n_loc) of the outer axis;
+    its local dof block spans n_loc*p + 1 planes (the last plane is the
+    shared interface, owned by shard k+1 — the "ghost" plane of the
+    owner-zero distributed layout; the final shard owns its last plane).
+    """
+    kind, dims, ndims, offs, p = meta
+    if len(dims) == 2:
+        nx, ny = dims  # 2D element order e = j*nx + i: outer = ny
+        if ny % K:
+            raise ValueError(f"halo partition needs ny % K == 0 ({ny}, {K})")
+        nl = ny // K
+        ldims = (nx, nl)
+    else:
+        nx, ny, nz = dims  # 3D order e = i*ny*nz + ...: outer = nx
+        if nx % K:
+            raise ValueError(f"halo partition needs nx % K == 0 ({nx}, {K})")
+        nl = nx // K
+        ldims = (nl, ny, nz)
+    lndims = (nl * p + 1,) + tuple(ndims[1:])
+    return (kind, ldims, lndims, offs, p)
+
+
+def _halo_perm_fwd(K: int):
+    """ppermute pairs sending shard k's plane to shard k+1 (scatter
+    return of interface contributions to their owner)."""
+    return [(k, k + 1) for k in range(K - 1)]
+
+
+def _halo_perm_bwd(K: int):
+    """ppermute pairs sending shard k+1's first plane back to shard k
+    (ghost fill before a local gather)."""
+    return [(k + 1, k) for k in range(K - 1)]
 
 
 def _fast_gather(u, meta, vdim: int, nd: int):
@@ -665,6 +719,27 @@ class ADBlockIntegrator:
     #                     tested by test_sharded_assembly_nondivisible_*).
     # ------------------------------------------------------------------
     def _gather_any(self, u, meta, vdim, nd, nds, edof, fast):
+        if isinstance(fast, tuple) and fast[0] == "halo":
+            # Distributed owner-zero layout (parallel.HaloShardedForm):
+            # ``u`` is this shard's LOCAL dof block.  L2 blocks are
+            # element-local (pure reshape, zero comms); h1-type blocks
+            # ppermute ONE interface dof plane from the next shard into
+            # the ghost plane, then run the ordinary strided-slice gather
+            # on the local grid — O(surface) exchange instead of the
+            # replicated path's O(ndof) psum (SURVEY §2.8, hypre true-dof
+            # semantics, reference tools.hpp:179-198).
+            _, axis, K = fast
+            if meta is None:
+                raise ValueError("halo mode requires structured grid meta")
+            if meta[0] == "l2":
+                return u.reshape(vdim, -1, nd).transpose(1, 2, 0)
+            lmeta = _halo_local_meta(meta, K)
+            U = u.reshape((vdim,) + tuple(lmeta[2]))
+            incoming = jax.lax.ppermute(
+                U[:, 0], axis, _halo_perm_bwd(K)
+            )  # shard k receives shard k+1's first (owned) plane
+            U = U.at[:, -1].add(incoming)  # ghost plane was zero
+            return _fast_gather(U.reshape(-1), lmeta, vdim, nd)
         if isinstance(fast, tuple):
             _, axis, K = fast
             ue = _fast_gather(u, meta, vdim, nd)
@@ -696,6 +771,23 @@ class ADBlockIntegrator:
         return u[idx]
 
     def _scatter_any(self, re, meta, vdim, nd, nds, ndof, edof, fast):
+        if isinstance(fast, tuple) and fast[0] == "halo":
+            # adjoint of the halo gather: local dilated-pad scatter, then
+            # ppermute the ghost-plane contribution to its owner (next
+            # shard's first plane) and re-zero the ghost — the output
+            # stays in the owner-zero layout.
+            _, axis, K = fast
+            if meta[0] == "l2":
+                return re.transpose(2, 0, 1).reshape(-1)
+            lmeta = _halo_local_meta(meta, K)
+            G = _fast_scatter(re, lmeta, vdim, nd).reshape(
+                (vdim,) + tuple(lmeta[2])
+            )
+            recv = jax.lax.ppermute(G[:, -1], axis, _halo_perm_fwd(K))
+            G = G.at[:, 0].add(recv)
+            last = jax.lax.axis_index(axis) == K - 1
+            ghost = jnp.where(last, G[:, -1], jnp.zeros_like(G[:, -1]))
+            return G.at[:, -1].set(ghost).reshape(-1)
         if isinstance(fast, tuple):
             _, axis, K = fast
             if meta is not None:
@@ -724,6 +816,11 @@ class ADBlockIntegrator:
     def eval_params(self, fields: dict, tables=None, fast: bool = True) -> dict:
         t = tables or self.tables
         ne, nq = _ne_nq(t)
+        if isinstance(fast, tuple) and fast[0] == "halo":
+            # field vectors stay REPLICATED in halo mode (they change once
+            # per outer iteration, outside the Krylov hot loop); gather
+            # them with the replicated shard mode
+            fast = ("shard",) + tuple(fast[1:])
         p = dict(t["static"])
         for name, kind in self.field_kinds.items():
             if name not in fields:
@@ -874,32 +971,49 @@ class ADBlockIntegrator:
             return H * t["w"][..., None, None]
         n = self.n_input
         pairs = [(a, b) for a in range(n) for b in range(a, n)]
-        flat = jnp.asarray([a * n + b for a, b in pairs], dtype=jnp.int32)
-        tri = H.reshape(H.shape[:2] + (n * n,))[..., flat]
-        return SymHess(tri * t["w"][..., None], n)
+        # plane-major stack: each H[:, :, a, b] is a plane XLA already
+        # holds contiguously ((n, m)-major output layout), so this is the
+        # no-relayout packing — the minor-dim take it replaces measured
+        # 196 ms/matvec of relayout at elast3d (see SymHess docstring)
+        planes = jnp.stack([H[:, :, a, b] for a, b in pairs], axis=0)
+        return SymHess(planes * t["w"][None], n)
+
+    def state_spec(self, axis: str):
+        """shard_map PartitionSpec pytree for this integrator's
+        ``hess_state`` output under element sharding: plane-major SymHess
+        leaves carry the element axis at dim 1 (P(None, axis)); full
+        tensors at dim 0."""
+        from jax.sharding import PartitionSpec as P
+
+        if sym_state_default() and not self.vector_fn:
+            return SymHess(P(None, axis), self.n_input)
+        return P(axis)
 
     def hess_mult(self, Hq, vblocks, tables=None, fast: bool = True):
         """Matrix-free J v: scatter(B (Hq (B^T v))).
 
-        ``SymHess`` state applies the packed triangle directly:
-            g1[k] = xv[b_k],  g2[k] = xv[a_k] (off-diagonal pairs only)
-            Hxv   = (tri*g1) @ SU^T + (tri*g2) @ SL^T
-        — two elementwise products + four tiny static matmuls whose
-        [ne*nq] batch rides the GEMM M dimension; the per-iteration HBM
-        read of the state drops from n^2 to n(n+1)/2 entries per qp.
+        ``SymHess`` state applies its triangle planes as unrolled
+        full-lane elementwise FMA chains over the [ne, nq] batch —
+        layout-native for the plane-major state (no per-iteration
+        relayout, see the SymHess docstring), n(n+1)/2 state reads per
+        qp instead of n^2.
         """
         t = tables or self.tables
         xv = self.x_qp(vblocks, t, fast)
         if isinstance(Hq, SymHess):
-            SU, SL, SUo, _ = _tri_maps(Hq.n)
-            dt = xv.dtype
-            SUj = jnp.asarray(SU, dtype=dt)
-            SLj = jnp.asarray(SL, dtype=dt)
-            SUoj = jnp.asarray(SUo, dtype=dt)
-            tri = Hq.tri
-            g1 = xv @ SLj  # [ne, nq, K] = xv[b_k]
-            g2 = xv @ SUoj  # xv[a_k], zeroed on diagonal pairs
-            Hxv = (tri * g1) @ SUj.T + (tri * g2) @ SLj.T
+            n = Hq.n
+            pairs = [(a, b) for a in range(n) for b in range(a, n)]
+            xvT = jnp.moveaxis(xv, -1, 0)  # [n, ne, nq]
+            planes = Hq.planes
+            acc = [None] * n
+            for k, (a, b) in enumerate(pairs):
+                tk = planes[k]
+                ta = tk * xvT[b]
+                acc[a] = ta if acc[a] is None else acc[a] + ta
+                if a != b:
+                    tb = tk * xvT[a]
+                    acc[b] = tb if acc[b] is None else acc[b] + tb
+            Hxv = jnp.stack(acc, axis=-1)  # [ne, nq, n]
         else:
             Hxv = jnp.einsum("eqnm,eqm->eqn", Hq, xv)
         return [

@@ -91,6 +91,98 @@ def build(order: int = 2, ref_levels: int = 3, n0: int = 10,
     )
 
 
+def build_dofpg(order: int = 2, ref_levels: int = 3, n0: int = 10,
+                lower: float = 0.0, upper=0.5, dim: int = 2,
+                mesh=None) -> Problem:
+    """DOF-level PG variant (reference dof_pg.hpp:9-231): the entropy
+    coupling acts at the H1 nodal points, dual space = L2 of the SAME
+    order (equal element dof count, dof_pg.hpp:46-48).  ``upper`` may be
+    a float or a Coefficient — a GridFunctionCoefficient realizes the
+    spatially-varying box bound of pg.hpp:281-322 (supply its dof vector
+    through the solver's ``fields``)."""
+    from ..dof_pg import DofPGIntegrator
+
+    m = mesh
+    if m is None:
+        if dim == 3:
+            m = M.make_cartesian_3d(n0, n0, n0).uniform_refine(ref_levels)
+        else:
+            m = M.make_cartesian_2d(n0, n0).uniform_refine(ref_levels)
+    dim = m.dim
+    h1 = FESpace(m, order + 1)
+    dual = FESpace(m, order + 1, L2)
+
+    entropy = FermiDiracEntropy(lower, upper)
+    intg = DofPGIntegrator(
+        ObstacleEnergy(dim), [h1], [ADEval.VALUE | ADEval.GRAD],
+        [dual], [entropy], ir_order=3 * order + 3,
+    )
+    form = BlockNonlinearForm([h1, dual])
+    form.add_domain_integrator(intg)
+    form.set_essential_bc([np.ones(m.max_bdr_attribute()), None])
+
+    rhs = np.zeros(form.ndof)
+    b = LinearForm(h1, load_fn_3d if dim == 3 else load_fn).assemble()
+    b[np.asarray(h1.boundary_dofs())] = 0.0
+    rhs[: h1.ndof] = b
+    return Problem(
+        mesh=m, primal_space=h1, latent_space=dual, form=form,
+        rhs=jnp.asarray(rhs), pg=None, ir_order=3 * order + 3,
+    )
+
+
+def solve_dofpg(
+    order: int = 2,
+    ref_levels: int = 2,
+    rule_type: int = PGStepSizeRule.CONSTANT,
+    alpha0: float = 1.0,
+    max_alpha: float = 1e4,
+    ratio: float = 1.0,
+    ratio2: float = 1.0,
+    max_pg_iter: int = 100,
+    tol: float = 1e-8,
+    verbose: bool = False,
+    n0: int = 10,
+    lin_maxiter: int = 2000,
+    dim: int = 2,
+    spatial_bound: bool = False,
+    lin_solver: str = "minres",
+):
+    """LVPP outer loop on the dof-PG obstacle form.  ``spatial_bound``
+    runs the pg.hpp:281-322 scenario: upper bound 0.3 + 0.2 x as a
+    GridFunction-backed entropy parameter."""
+    from ..coefficients import GridFunctionCoefficient
+
+    fields = {}
+    if dim == 3:
+        m = M.make_cartesian_3d(n0, n0, n0).uniform_refine(ref_levels)
+    else:
+        m = M.make_cartesian_2d(n0, n0).uniform_refine(ref_levels)
+    upper = 0.5
+    if spatial_bound:
+        bspace = FESpace(m, 1)
+        upper = GridFunctionCoefficient(bspace, "ub_field")
+        fields["ub_field"] = jnp.asarray(
+            bspace.project(lambda x: 0.3 + 0.2 * x[0])
+        )
+    pb = build_dofpg(order, ref_levels, n0=n0, upper=upper, dim=dim,
+                     mesh=m)
+
+    rule = PGStepSizeRule(rule_type, alpha0, max_alpha, ratio, ratio2)
+    nopts = NewtonOptions(
+        abs_tol=1e-9, rel_tol=0.0, max_iter=20, lin_solver=lin_solver,
+        lin_tol=1e-12, lin_maxiter=lin_maxiter,
+        preconditioner=None if lin_solver == "dense" else "jacobi",
+    )
+    solver = PGSolver(
+        pb.form, rule, latent_block=1, latent_space=pb.latent_space,
+        newton_opts=nopts, max_iter=max_pg_iter, tol=tol, verbose=verbose,
+        newton_accept=1e-5,
+    )
+    res = solver.solve(jnp.zeros(pb.form.ndof), pb.rhs, fields=fields)
+    return res, pb
+
+
 def _primal_gmg(order: int, ref_levels: int, n0: int, dim: int = 2):
     """hp-GMG on the primal diffusion block (H1(order+1)): order-p fine
     level p-coarsens to Q1, then geometric coarsening to the n0 mesh.

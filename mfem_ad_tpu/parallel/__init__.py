@@ -1,12 +1,18 @@
 """Multi-device parallelism: element-sharded assembly over a device mesh.
 
 The TPU-native replacement for the reference's MPI domain decomposition
-(ParMesh + hypre, SURVEY.md §2.8): elements are sharded across devices with
-``shard_map``; dof vectors stay replicated; local scatter + ``psum`` over
-ICI performs the shared-dof assembly reduction that hypre's ParallelAssemble
-does over MPI (ex4.cpp:119-120,:197-198).
+(ParMesh + hypre, SURVEY.md §2.8).  Two models:
+
+- ``ShardedForm``: elements sharded with ``shard_map``, dof vectors
+  replicated, one ``psum`` per assembly (hypre ParallelAssemble as one ICI
+  collective, ex4.cpp:119-120) — any mesh, the compatibility path.
+- ``HaloShardedForm``: dof vectors DISTRIBUTED in an owner-zero layout;
+  the matvec exchanges only the partition-interface dof planes via
+  ``ppermute`` — O(surface) bytes per Krylov iteration (hypre true-dof
+  partitioning semantics, tools.hpp:179-198).  Structured meshes.
 """
 
+from .halo import HaloShardedForm
 from .sharding import ShardedForm
 
-__all__ = ["ShardedForm"]
+__all__ = ["ShardedForm", "HaloShardedForm"]

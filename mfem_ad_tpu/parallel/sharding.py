@@ -38,12 +38,20 @@ except ImportError:  # pragma: no cover
         return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 
+_REPLICATED_TABLE_KEYS = ("R", "R0", "D0", "W", "W0")
+
+
 def _table_specs(tables, axis: str):
     """PartitionSpec pytree matching an integrator's tables bundle.
 
-    Shape-based: any leaf whose leading dim equals the (padded) element
-    count is sharded over ``axis``; element-shared tables (leading dim 1,
-    see integrator._dedup_elements) and per-qp-only tables replicate.
+    Keyed by table role, then by shape: the precomputed contraction
+    factors (R/R0/D0/W/W0) and field shape tables (phi) replicate
+    unconditionally — their leading dims are quadrature-sized and can
+    collide with the element count (e.g. nq*sd^2 = 64 on an 8x8 mesh,
+    found round 4); for the remaining tables, a leaf whose leading dim
+    equals the (padded) element count shards over ``axis`` and
+    element-shared leaves (leading dim 1, integrator._dedup_elements)
+    replicate.
     """
     ne = (tables["edof"][0] if "edof" in tables else tables["wn"][0]).shape[0]
 
@@ -57,7 +65,27 @@ def _table_specs(tables, axis: str):
             return tuple(walk(v) for v in node)
         return spec(node)
 
-    return walk(tables)
+    def replicate(node):
+        if isinstance(node, dict):
+            return {k: replicate(v) for k, v in node.items()}
+        if isinstance(node, tuple):
+            return tuple(replicate(v) for v in node)
+        return P()
+
+    out = {}
+    for k, v in tables.items():
+        if k in _REPLICATED_TABLE_KEYS:
+            out[k] = replicate(v)
+        elif k == "field":
+            # (edof [ne, nd] sharded, phi [nq, nd] replicated) per field
+            out[k] = {
+                name: (spec(ed), P()) for name, (ed, phi) in v.items()
+            }
+        elif k == "inner":  # DofPG nested bundle
+            out[k] = _table_specs(v, axis)
+        else:
+            out[k] = walk(v)
+    return out
 
 
 class ShardedForm:
@@ -154,7 +182,10 @@ class ShardedForm:
         return tuple(self.tables)
 
     def _state_specs(self):
-        return tuple(P(self.axis_name) for _ in self.tables)
+        return tuple(
+            intg.state_spec(self.axis_name)
+            for intg in self.form.integrators
+        )
 
     def energy_raw(self, tables, u, fields):
         def local(tables, u, fields):
@@ -188,9 +219,14 @@ class ShardedForm:
     def grad_state_raw(self, tables, u, fields):
         """Per-integrator per-qp Hessians, left sharded over elements."""
 
+        from ..integrator import sym_state_default
+
+        sym = sym_state_default()
+
         def local(tables, u, fields):
             return tuple(
-                intg.hess_state(self.form.split(u), fields, t, fast=f)
+                intg.hess_state(self.form.split(u), fields, t, fast=f,
+                                sym=sym)
                 for intg, t, f in zip(
                     self.form.integrators, tables, self.fast
                 )
@@ -328,7 +364,7 @@ class ShardedForm:
 
         def trim(Hq, ne_true):
             if isinstance(Hq, SymHess):
-                return SymHess(np.asarray(Hq.tri)[:ne_true], Hq.n)
+                return SymHess(np.asarray(Hq.planes)[:, :ne_true], Hq.n)
             return np.asarray(Hq)[:ne_true]
 
         serial_state = [

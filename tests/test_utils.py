@@ -64,6 +64,77 @@ def test_glvis_noop_without_server():
     g.update()  # must not raise
 
 
+def test_glvis_full_order_loopback():
+    """Protocol test against a loopback socket server (VERDICT r3 #8): a
+    p=2 field streams as an order-2 L2_T1 grid function whose per-element
+    values are the EXACT field at MFEM's Lobatto lattice — full visual
+    order parity, not an order-1 downsample."""
+    import socket
+    import threading
+
+    from mfem_ad_tpu.utils.glvis import GLVis, _mfem_l2_nodes
+
+    m = M.make_cartesian_2d(3, 3)
+    fes = FESpace(m, 2)
+    u = fes.project(lambda x: x[0] * x[0] + 0.5 * x[1])  # exact at p=2
+
+    received = []
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+
+    def serve():
+        # one probe connection + one data connection per update()d field
+        for _ in range(2):
+            conn, _addr = srv.accept()
+            chunks = []
+            while True:
+                b = conn.recv(65536)
+                if not b:
+                    break
+                chunks.append(b)
+            conn.close()
+            if chunks:
+                received.append(b"".join(chunks).decode())
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    g = GLVis(host="127.0.0.1", port=port)
+    assert g._enabled
+    g.append(fes, u, "u")
+    g.update()
+    t.join(timeout=5.0)
+    assert received, "no solution block received"
+    msg = received[0]
+
+    assert msg.startswith("solution\n")
+    assert "MFEM mesh v1.0" in msg
+    assert "FiniteElementCollection: L2_T1_2D_P2" in msg
+    assert "window_title 'u'" in msg
+
+    # parse the grid function values: ne * (p+1)^2 rows after the header
+    body = msg.split("Ordering: 1\n\n", 1)[1]
+    rows = body.split("window_title")[0].strip().splitlines()
+    nj = 9  # (2+1)^2 Lobatto lattice points
+    assert len(rows) == m.num_elements * nj
+    vals = np.array([float(r) for r in rows])
+
+    # exact-field check at every streamed lattice point of every element
+    nodes = _mfem_l2_nodes(m.geom, 2)  # [nj, 2]
+    verts = m.vertices[m.elements]  # [ne, 4, dim] lex corners
+    # bilinear map of the lex-corner quad: x(s, t)
+    s, tt = nodes[:, 0], nodes[:, 1]
+    shp = np.stack(
+        [(1 - s) * (1 - tt), s * (1 - tt), (1 - s) * tt, s * tt], axis=1
+    )  # [nj, 4]
+    xy = np.einsum("jc,ecd->ejd", shp, verts)  # [ne, nj, dim]
+    exact = xy[..., 0] ** 2 + 0.5 * xy[..., 1]
+    assert np.allclose(vals.reshape(m.num_elements, nj), exact, atol=1e-12)
+    srv.close()
+
+
 def test_mesh_ascii_roundtrip(tmp_path):
     """GLVis mesh serialization is valid MFEM v1.0 (read back by our reader)."""
     from mfem_ad_tpu.utils.glvis import _mesh_ascii

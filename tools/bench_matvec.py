@@ -59,7 +59,7 @@ def _build_case(case: str):
     raise SystemExit(f"unknown BM_CASE {case!r}")
 
 
-def _timed_loop(fn, args, reps0: int, reps1: int):
+def _timed_loop(fn, args, v0, reps0: int, reps1: int):
     """Differenced fori_loop timing of fn(*args, v)->vector, seconds/call."""
 
     def make(reps):
@@ -85,7 +85,7 @@ def _timed_loop(fn, args, reps0: int, reps1: int):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    v = jnp.zeros_like(args[-1]) + 1.0  # args[-1] is a template vector
+    v = jnp.zeros_like(v0) + 1.0
     t0v, t1v = timed(r0, v), timed(r1, v)
     return max((t1v - t0v) / (reps1 - reps0), 1e-12)
 
@@ -107,8 +107,8 @@ def main():
     def mv(tables, ess, state, v):
         return form.grad_mult_raw(tables, ess, state, v)
 
-    t_full = _timed_loop(mv, (tables, ess, st_full, x), 20, 120)
-    t_sym = _timed_loop(mv, (tables, ess, st_sym, x), 20, 120)
+    t_full = _timed_loop(mv, (tables, ess, st_full), x, 20, 120)
+    t_sym = _timed_loop(mv, (tables, ess, st_sym), x, 20, 120)
 
     # once-per-direction state build cost (pack relayout included)
     def gs(tables, x, flag):
