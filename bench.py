@@ -92,6 +92,36 @@ def _build(order: int, dim: int, n: int):
     return m, fes, intg, u
 
 
+def _build_unstructured(order: int = 1, refs: int = 8):
+    """Genuinely unstructured config (VERDICT r3 #5): the reference's own
+    data/sloped_rectangle.mesh triangle mesh refined to ~196k elements,
+    vdim=2 neo-Hookean — same physics as the p1/2D headline but through
+    the generic edof gather/scatter path (mesh.structured is None)."""
+    from mfem_ad_tpu import mesh as M
+    from mfem_ad_tpu.ad import NeoHookeanEnergy
+    from mfem_ad_tpu.adeval import ADEval
+    from mfem_ad_tpu.fespace import FESpace
+    from mfem_ad_tpu.integrator import ADBlockIntegrator
+
+    m = M.read_mfem_mesh(
+        "/root/reference/data/sloped_rectangle.mesh"
+    ).uniform_refine(refs)
+    assert m.structured is None
+    fes = FESpace(m, order, vdim=2)
+    intg = ADBlockIntegrator(
+        NeoHookeanEnergy(2, 1.0, 1.0),
+        [fes],
+        [ADEval.GRAD | ADEval.VECTOR],
+        dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    h = 1.0 / (2.0 ** (refs / 2.0))  # triangle edge scale after refs
+    u = jnp.asarray(
+        (0.2 * h) * rng.standard_normal(fes.ndof), dtype=jnp.float32
+    )
+    return m, fes, intg, u
+
+
 def _loop_jacobian(intg, reps: int, fused):
     """fused: None = auto-route (element_jacobians), False = force the
     XLA path, True = force the Pallas kernel."""
@@ -185,6 +215,10 @@ def _gemm_flops_per_element(intg):
     else:
         x_gemm = 2 * nde * nq * w
     if "0_0" in intg.tables.get("W0", {}):
+        if "0_0" in intg.tables.get("W0p", {}) and nq <= 32:
+            # planar batched-GEMM route (integrator._elmat_planar gate):
+            # v*v (a,b)-plane GEMMs of [ne, nq] @ [nq, nd^2] each
+            return x_gemm + 2 * (v * v) * (sd * sd) * nq * (nd * nd)
         # blocked-W route (vdim^2 fewer FLOPs than full Bf (x) Bf); the
         # vdim-block mirror (upper triangle only) executes only at
         # vdim >= 3 — at vdim = 2 the relayout loses and all v^2 row
@@ -265,6 +299,22 @@ def sweep():
                 file=sys.stderr,
                 flush=True,
             )
+    # unstructured row (generic edof gather/scatter path, VERDICT r3 #5)
+    m, fes, intg, u = _build_unstructured(order=1, refs=8)
+    ne = m.num_elements
+    r1 = max(20, min(220, int(2e8 / (ne * intg.nq))))
+    r0 = max(2, r1 // 10)
+    jac = _rate(lambda reps: _loop_jacobian(intg, reps, None),
+                intg, u, r0, r1)
+    res = _rate(lambda reps: _loop_residual(intg, reps), intg, u, r0, r1)
+    mfu = jac * _gemm_flops_per_element(intg) / PEAK_FLOPS
+    rows.append(("1u", 2, ne, res, jac, mfu))
+    print(
+        f"| p=1 unstructured | 2D | {ne:>7} | {res:.3e} | {jac:.3e} "
+        f"| {100 * mfu:.1f}% |",
+        file=sys.stderr,
+        flush=True,
+    )
     print(
         "| order | dim | elems | residual elem/s | jacobian elem/s "
         "| MFU(GEMM lower bound) |",

@@ -396,6 +396,28 @@ def _fast_scatter(re, meta, vdim: int, nd: int):
     return out.reshape(-1)
 
 
+def _edof_inverse(edof: np.ndarray, nds: int) -> np.ndarray:
+    """Transpose of the element-dof map: [nds, V] indices into the
+    flattened [ne*nd] element-value array (V = max dof valence), padded
+    with the sentinel ne*nd (a zero slot appended by the consumer).
+
+    Converts the generic unstructured scatter-add — a TPU scatter op,
+    serialized per colliding index — into gather + sum over a static
+    valence axis (every output dof reads its incident element slots),
+    which XLA lowers as a plain gather + reduction.
+    """
+    ne, nd = edof.shape
+    lists: list = [[] for _ in range(nds)]
+    flat = edof.reshape(-1)
+    for slot, dof in enumerate(flat):
+        lists[int(dof)].append(slot)
+    V = max(len(x) for x in lists) if lists else 1
+    inv = np.full((nds, V), ne * nd, dtype=np.int32)
+    for j, x in enumerate(lists):
+        inv[j, : len(x)] = x
+    return inv
+
+
 def _x_from_u(B, ue):
     """x = B^T u per qp: [ne, nq, vdim, sd]; B may be element-shared."""
     if B.shape[0] == 1:
@@ -553,6 +575,16 @@ class ADBlockIntegrator:
             "static": static,
             "field": fieldtab,
         }
+        # unstructured H1 spaces: transpose edof map for the gather+sum
+        # scatter (generic scatter-add is a serialized TPU scatter op;
+        # see _edof_inverse)
+        einv = {}
+        for si, sp in enumerate(self.spaces):
+            if self._gridmeta[si] is None:
+                einv[si] = jnp.asarray(
+                    _edof_inverse(np.asarray(sp.edof), sp.ndof_scalar)
+                )
+        self.tables["einv"] = einv
 
         # ---- MXU matmul forms of the contractions (element-shared B only).
         # Per-qp einsums over tiny (nd, sd) dims lower to lane-starved VPU
@@ -682,6 +714,27 @@ class ADBlockIntegrator:
                     )
                     W0d[f"{s}_{t_}"] = jnp.asarray(W0, dtype=dtype)
             self.tables["W0"] = W0d
+            # Plane-major contraction factor (W0p) for the _elmat_planar
+            # route (3D): W0 re-sliced per (a, b) shape-derivative pair,
+            # [sds*sdt, nq, nds*ndt] — the batched-GEMM form that
+            # contracts the Hessian in its natural (n, m)-major layout.
+            W0pd = {}
+            for keyst, W0arr in W0d.items():
+                s, t_ = (int(c) for c in keyst.split("_"))
+                sds, sdt = self.sd[s], self.sd[t_]
+                if min(sds, sdt) < 3 or self.vector_fn:
+                    continue
+                nds_, ndt_ = self.nd[s], self.nd[t_]
+                W0np = np.asarray(W0arr).reshape(
+                    self.nq, sds, sdt, nds_ * ndt_
+                )
+                W0pd[keyst] = jnp.asarray(
+                    np.transpose(W0np, (1, 2, 0, 3)).reshape(
+                        sds * sdt, self.nq, nds_ * ndt_
+                    ),
+                    dtype=dtype,
+                )
+            self.tables["W0p"] = W0pd
             # The full-Bf W factor survives only for the Pallas reference
             # kernel (ops/fused_jacobian.py), which consumes it directly.
             Wd = {}
@@ -767,10 +820,14 @@ class ADBlockIntegrator:
             ue = _fast_gather(u, meta, vdim, nd)
             if ue is not None:
                 return ue
-        idx = edof[:, :, None] + jnp.arange(vdim) * nds
-        return u[idx]
+        # generic gather, row form: index the nds axis of [vdim, nds]
+        # (vdim values per index) rather than scalar-indexing the flat
+        # byNODES vector
+        ue = u.reshape(vdim, nds)[:, edof]  # [vdim, ne, nd]
+        return ue.transpose(1, 2, 0)
 
-    def _scatter_any(self, re, meta, vdim, nd, nds, ndof, edof, fast):
+    def _scatter_any(self, re, meta, vdim, nd, nds, ndof, edof, fast,
+                     inv=None):
         if isinstance(fast, tuple) and fast[0] == "halo":
             # adjoint of the halo gather: local dilated-pad scatter, then
             # ppermute the ghost-plane contribution to its owner (next
@@ -809,6 +866,16 @@ class ADBlockIntegrator:
             out = _fast_scatter(re, meta, vdim, nd)
             if out is not None:
                 return out
+            if inv is not None:
+                # unstructured transpose-gather scatter: every dof sums
+                # its incident element slots (static valence axis) — a
+                # gather + reduction instead of a serialized scatter-add
+                flat = re.reshape(-1, vdim)  # [ne*nd, vdim]
+                padded = jnp.concatenate(
+                    [flat, jnp.zeros((1, vdim), re.dtype)], axis=0
+                )
+                r = padded[inv].sum(axis=1)  # [nds, vdim]
+                return r.T.reshape(-1)  # byNODES
         idx = edof[:, :, None] + jnp.arange(vdim) * nds
         out = jnp.zeros(ndof, dtype=re.dtype)
         return out.at[idx].add(re)
@@ -874,6 +941,7 @@ class ADBlockIntegrator:
         return self._scatter_any(
             re, self._gridmeta[s], self.vdim[s], self.nd[s], self.nds[s],
             self.spaces[s].ndof, t["edof"][s], fast,
+            inv=t.get("einv", {}).get(s),
         )
 
     def x_qp(self, ublocks, tables=None, fast: bool = True) -> jnp.ndarray:
@@ -1071,8 +1139,77 @@ class ADBlockIntegrator:
             and _os.environ.get("MFEM_AD_TPU_FUSED") == "1"
         ):
             return element_jacobian_via_pallas(self, ublocks, tables=tables)
+        # 3D/W0 configs assemble through the _elmat_planar batched-GEMM
+        # route (element_matrices dispatches on the W0p table): the
+        # Hessian is contracted in its natural (n, m)-major layout, no
+        # (ne, nq)-batch transpose.
         Hq = self.hess_state(ublocks, fields, tables, fast)
         return self.element_matrices(Hq, 0, 0, tables)
+
+    def _elmat_planar(self, Hq, s: int, t_: int, t):
+        """Plane-major assembly: one BATCHED GEMM whose batch axis is the
+        (vdim-pair, shape-derivative-pair) plane index, contracting only
+        over qp — the per-qp Hessian is consumed in its natural
+        (n, m)-major layout (tools/probe_layout.py: jitted AD states come
+        back plane-major), with NO transpose of the (ne, nq) batch into
+        the GEMM K dimension.  Full tensors slice/transpose leading plane
+        dims (folds into the producer layout); SymHess states expand by a
+        leading-dim plane gather.
+
+        Measured on the v5e at p1/3D (tools/probe_3d.py): ~1.2x over the
+        blocked-W0 route, whose ``Hp`` relayout moves the whole state.
+        Gated to 3D (sd >= 3): in 2D nq is small (9 at p1), the batched
+        GEMM's nq->128 K-padding loses, and the blocked route already
+        wins there.  Returns None when inapplicable (no W0p factor, 2D,
+        or disabled via MFEM_AD_TPU_PLANAR_ASM=0).
+        """
+        key = f"{s}_{t_}"
+        if key not in t.get("W0", {}):
+            return None
+        sds, sdt = self.sd[s], self.sd[t_]
+        ne, nq = _ne_nq(t)
+        # Measured gate (v5e): the planar batched GEMM does sds*sdt/
+        # (mirror savings) MORE GEMM FLOPs than the blocked-W0 route but
+        # skips the whole-state Hp relayout.  At p1/3D (nq=27, GEMM ~3%
+        # of the pass) that nets +17% (8.76M -> 10.2M elem/s); at
+        # p>=2/3D (nq >= 64, GEMM-bound, 34-83% MFU) the extra FLOPs
+        # lose 12-19% (measured at both nq=64 and nq=125).  Gate: 3D
+        # and nq <= 32.  MFEM_AD_TPU_PLANAR_ASM=1/0 forces on/off.
+        force = os.environ.get("MFEM_AD_TPU_PLANAR_ASM")
+        if force == "0":
+            return None
+        if force != "1" and (min(sds, sdt) < 3 or nq > 32):
+            return None
+        vs, vt = self.vdim[s], self.vdim[t_]
+        nds, ndt = self.nd[s], self.nd[t_]
+        os_, ot = int(self.x_off[s]), int(self.x_off[t_])
+        Wp = t.get("W0p", {}).get(key)
+        if Wp is None:
+            return None
+        if isinstance(Hq, SymHess):
+            # expand to the (plane, batch) layout by a leading-dim gather
+            # of the triangle planes (no (ne, nq)-batch movement)
+            expand = _tri_maps(Hq.n)[3]
+            Hfull = Hq.planes[expand]  # [n*n, ne, nq]
+            Hfull = Hfull.reshape(Hq.n, Hq.n, ne, nq)
+            Hp = Hfull[os_ : os_ + vs * sds, ot : ot + vt * sdt]
+            Hp = Hp.reshape(vs, sds, vt, sdt, ne, nq).transpose(
+                0, 2, 1, 3, 4, 5
+            )
+        else:
+            # full tensor: the (n, m)-major slice/transpose folds into the
+            # producer's natural plane-major output layout
+            blk = Hq[..., os_ : os_ + vs * sds, ot : ot + vt * sdt]
+            H6 = blk.reshape(ne, nq, vs, sds, vt, sdt)
+            Hp = jnp.transpose(H6, (2, 4, 3, 5, 0, 1))
+        Hb = Hp.reshape(vs * vt, sds * sdt, ne, nq)
+        Y = jnp.einsum(
+            "pkeq,kqj->pkej", Hb, Wp,
+            precision=jax.lax.Precision.HIGH,
+        )  # batched GEMM, batch (pair, shape-deriv), no batch transpose
+        A = Y.sum(axis=1)  # [vs*vt, ne, nds*ndt]
+        A = A.reshape(vs, vt, ne, nds, ndt).transpose(2, 0, 3, 1, 4)
+        return A.reshape(ne, vs * nds, vt * ndt)
 
     def element_matrices(self, Hq, s: int, t_: int, tables=None):
         """Dense element blocks A_e[(v,d),(w,k)] for pair (test s, trial t_).
@@ -1088,6 +1225,9 @@ class ADBlockIntegrator:
         is expanded here (exactly symmetric by construction).
         """
         t = tables or self.tables
+        A = self._elmat_planar(Hq, s, t_, t)
+        if A is not None:
+            return A
         if isinstance(Hq, SymHess):
             Hq = Hq.full()
         ne, nq = _ne_nq(t)

@@ -38,7 +38,7 @@ except ImportError:  # pragma: no cover
         return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 
-_REPLICATED_TABLE_KEYS = ("R", "R0", "D0", "W", "W0")
+_REPLICATED_TABLE_KEYS = ("R", "R0", "D0", "W", "W0", "W0p", "einv")
 
 
 def _table_specs(tables, axis: str):
