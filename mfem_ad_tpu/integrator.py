@@ -450,6 +450,57 @@ def _elmat_from_h(Bs, Bt, H6):
 
 
 
+class _PullbackEnergy(ADFunction):
+    """Affine-geometry pullback wrapper (round 4, VERDICT r3 #5).
+
+    Evaluates the user energy on PHYSICAL per-qp inputs reconstructed
+    from REFERENCE-basis inputs via the per-element inverse Jacobian
+    (``p["_invj"]``): physical gradients are ``invj^T @ ref-gradients``.
+    On an affine unstructured mesh (every simplex mesh; constant J per
+    element) this keeps the shape tensor ELEMENT-SHARED, so all the
+    shared-B GEMM machinery (R0/W0/W0p/D0 factors) applies verbatim —
+    and the chain-rule congruence ``H_ref = P^T H_phys P`` happens
+    inside the traced AD graph for free.  The same separation of
+    reference basis from geometry underlies MFEM's partial assembly
+    (the reference's CalcPhysDShape bakes the geometry into B instead,
+    ad_intg.hpp:119-154, which forces element-varying shape tensors).
+
+    Measured (tools/probe_unstructured.py, sloped_rectangle x8, 196k
+    triangles): the element-varying-B einsum assembly was 86 ms/pass;
+    see BENCH_SWEEP.md for the pulled-back rates.
+    """
+
+    def __init__(self, f, layout, dim: int):
+        super().__init__(f.n_input)
+        self.f = f
+        self.layout = layout  # per space: (offset, vdim, sd, cols)
+        self.dim = dim
+        self.params = f.params  # coefficient evaluation unchanged
+
+    def energy(self, x, p):
+        J = p["_invj"]  # [dim*dim] per point, row-major J^{-1}[m, k]
+        d = self.dim
+        out = []
+        for off, v, sd, cols in self.layout:
+            for c in range(v):
+                base = off + c * sd
+                k = 0
+                for kind in cols:
+                    if kind == "v":
+                        out.append(x[base + k])
+                        k += 1
+                    else:  # reference-gradient block -> physical
+                        for kk in range(d):
+                            acc = J[kk] * x[base + k]
+                            for mm in range(1, d):
+                                acc = acc + (
+                                    J[mm * d + kk] * x[base + k + mm]
+                                )
+                            out.append(acc)
+                        k += d
+        return self.f.energy(jnp.stack(out), p)
+
+
 class ADBlockIntegrator:
     """Domain integrator of a scalar energy over one or more FE spaces.
 
@@ -530,9 +581,49 @@ class ADBlockIntegrator:
                 raise ValueError("vdim > 1 requires ADEval.VECTOR")
         self._gridmeta = [_space_gridmeta(s) for s in spaces]
 
+        # ---- affine pullback (unstructured meshes with constant J per
+        # element — every simplex mesh): build the shape tensor from the
+        # REFERENCE basis (element-shared, so the fast GEMM factors
+        # apply) and absorb the geometry into the traced energy via
+        # _PullbackEnergy.  Element-varying-J meshes (non-parallelogram
+        # quads/hexes) keep the physical-B generic path.
+        self.pullback = False
+        gf_b = gf
+        if not mesh.uniform_jacobian and not self.vector_fn:
+            ok_modes = all(
+                not (m & (ADEval.DIV | ADEval.CURL | ADEval.QVALUE))
+                for m in modes
+            )
+            jscale = float(np.abs(gf.jac).max()) or 1.0
+            if (
+                ok_modes
+                and os.environ.get("MFEM_AD_TPU_PULLBACK") != "0"
+                and np.allclose(gf.jac, gf.jac[:, :1],
+                                rtol=0.0, atol=1e-12 * jscale)
+            ):
+                self.pullback = True
+                from .geometry import GeomFactors
+
+                eyeJ = np.broadcast_to(np.eye(sdim), gf.invj.shape)
+                gf_b = GeomFactors(
+                    xq=gf.xq, jac=eyeJ, detj=gf.detj, invj=eyeJ, w=gf.w
+                )
+                layout = []
+                for si in range(len(spaces)):
+                    cols = []
+                    if modes[si] & ADEval.VALUE:
+                        cols.append("v")
+                    if modes[si] & ADEval.GRAD:
+                        cols.append("g")
+                    layout.append((
+                        int(self.x_off[si]), self.vdim[si], self.sd[si],
+                        tuple(cols),
+                    ))
+                self.f = f = _PullbackEnergy(f, tuple(layout), sdim)
+
         B = tuple(
             jnp.asarray(
-                _dedup_elements(np.asarray(build_B(s, m, self.ir, gf))),
+                _dedup_elements(np.asarray(build_B(s, m, self.ir, gf_b))),
                 dtype=dtype,
             )
             for s, m in zip(spaces, modes)
@@ -567,6 +658,19 @@ class ADBlockIntegrator:
             else:
                 vals = _dedup_elements(np.asarray(coeff.eval_qp(ctx)))
                 static[name] = jnp.asarray(vals, dtype=self.dtype)
+
+        if self.pullback:
+            # per-element inverse Jacobian, row-major [m, k], broadcast
+            # over qp — the _PullbackEnergy geometry input
+            inv1 = np.ascontiguousarray(gf.invj[:, 0]).reshape(
+                -1, 1, sdim * sdim
+            )
+            static["_invj"] = jnp.asarray(
+                np.broadcast_to(
+                    inv1, (inv1.shape[0], self.nq, sdim * sdim)
+                ),
+                dtype=self.dtype,
+            )
 
         self.tables = {
             "B": B,

@@ -48,6 +48,58 @@ def _solve_poisson(m, order):
     return l2_error(fes, np.asarray(res.x), exact_fn)
 
 
+def test_affine_pullback_matches_generic():
+    """Affine unstructured meshes route through the reference-basis
+    pullback (shared B + _PullbackEnergy, round 4): energy/residual/
+    Jacobian/diagonal must match the generic physical-B path exactly."""
+    import jax
+
+    from mfem_ad_tpu.ad import NeoHookeanEnergy
+    from mfem_ad_tpu.adeval import ADEval
+    from mfem_ad_tpu.forms import NonlinearForm
+    from mfem_ad_tpu.integrator import ADBlockIntegrator
+
+    m = M.read_mfem_mesh(MESH_PATH).uniform_refine(2)
+
+    def build(pullback: bool, monkey=None):
+        import os
+
+        os.environ["MFEM_AD_TPU_PULLBACK"] = "1" if pullback else "0"
+        try:
+            fes = FESpace(m, 1, vdim=2)
+            f = NonlinearForm(fes)
+            f.add_ad_integrator(
+                NeoHookeanEnergy(2, 1.0, 1.0), ADEval.GRAD | ADEval.VECTOR
+            )
+            return fes, f
+        finally:
+            del os.environ["MFEM_AD_TPU_PULLBACK"]
+
+    fes, fp = build(True)
+    _, fg = build(False)
+    assert fp.integrators[0].pullback
+    assert not fg.integrators[0].pullback
+    assert fp.integrators[0].tables["B"][0].shape[0] == 1  # shared Bref
+
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(0.02 * rng.standard_normal(fes.ndof))
+    assert np.isclose(float(fp.energy(u)), float(fg.energy(u)), rtol=1e-10)
+    rp, rg = np.asarray(fp.mult(u)), np.asarray(fg.mult(u))
+    assert np.allclose(rp, rg, atol=1e-10 * max(1.0, np.abs(rg).max()))
+    sp, sg = fp.grad_state(u), fg.grad_state(u)
+    Ap, Ag = fp.assemble_dense(sp), fg.assemble_dense(sg)
+    assert np.allclose(Ap, Ag, atol=1e-8 * np.abs(Ag).max())
+    v = jnp.asarray(rng.standard_normal(fes.ndof))
+    assert np.allclose(
+        np.asarray(fp.grad_mult(sp, v)), np.asarray(fg.grad_mult(sg, v)),
+        atol=1e-8 * np.abs(Ag).max(),
+    )
+    assert np.allclose(
+        np.asarray(fp.grad_diag(sp)), np.asarray(fg.grad_diag(sg)),
+        atol=1e-8 * np.abs(Ag).max(),
+    )
+
+
 @pytest.mark.parametrize("order", [1, 2])
 def test_sloped_rectangle_mms_rate(order):
     """L2 rate ~ h^{p+1} through the unstructured-triangle gather path."""

@@ -40,11 +40,11 @@ def timed_scan(build_fn, tables, u, reps0=3, reps1=13):
     r0, r1 = make(reps0), make(reps1)
 
     def t(run):
-        jax.block_until_ready(run(tables, u))
-        ts = []
+        float(run(tables, u))  # fetch the scalar: block_until_ready is
+        ts = []                # unreliable on the axon tunnel (see bench)
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(tables, u))
+            float(run(tables, u))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
