@@ -79,11 +79,23 @@ def _host_fingerprint() -> str:
 
     key = platform.machine()
     try:
+        parts = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    key = line
-                    break
+                # flags alone are not enough: LLVM derives per-uarch
+                # tuning features (e.g. +prefer-no-gather) from the CPU
+                # MODEL, so two hosts with identical flag sets can still
+                # reject each other's AOT executables — include the
+                # family/model/stepping identity too (observed round 4)
+                if line.startswith(
+                    ("flags", "model", "cpu family", "stepping",
+                     "vendor_id")
+                ):
+                    parts.append(line)
+                if line.startswith("power management"):
+                    break  # first core only — all cores identical
+        if parts:
+            key = "".join(sorted(set(parts)))
     except OSError:
         pass
     return hashlib.sha1(key.encode()).hexdigest()[:10]

@@ -76,12 +76,13 @@ def _timed_loop(fn, args, v0, reps0: int, reps1: int):
     r0, r1 = make(reps0), make(reps1)
 
     def timed(run, v):
-        out = run(args, v)
-        jax.block_until_ready(out)
+        # fetch a scalar to sync: block_until_ready is unreliable on the
+        # axon TPU tunnel (measured: returns before execution completes)
+        float(jnp.sum(run(args, v)))
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(args, v))
+            float(jnp.sum(run(args, v)))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
