@@ -1165,6 +1165,19 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
     """
     A_TOL, A_MAX = 1e-5, 64
     S_TOL, S_MAX = 3e-3, 200
+    # Tunnel-budget scaling: one FGMRES step is a single jitted program
+    # containing 2 A-CG solves + the Sigma-CG.  Measured at ex5 ref-4
+    # (155k dofs, f64): matvec 46.5 ms, V-cycle 124 ms, so the default
+    # budgets put one step at ~49 s — straight into the worker's ~60 s
+    # execution watchdog, which kills the execution WITHOUT a response
+    # (the client hangs forever; observed twice).  Above 100k dofs the
+    # inner budgets shrink to keep one step < ~25 s; the quality loss
+    # only adds outer FGMRES iterations (each its own safe execution).
+    # MFEM_AD_TPU_LDU_AMAX / _SMAX override.
+    if form.ndof > 100_000:
+        A_MAX, S_MAX = 24, 24
+    A_MAX = int(_os.environ.get("MFEM_AD_TPU_LDU_AMAX", A_MAX))
+    S_MAX = int(_os.environ.get("MFEM_AD_TPU_LDU_SMAX", S_MAX))
     tables = form._tables()
     ess = form.ess_mask
     off = form.offsets
@@ -1324,7 +1337,7 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
         and _os.environ.get("MFEM_AD_TPU_SIGMA_WOODBURY", "1") != "0"
     )
     mode = "direct" if use_direct else ("wb" if use_wb else "blk")
-    kb = ("schur_ldu", tol, m, A_TOL, S_TOL, id(fp))
+    kb = ("schur_ldu", tol, m, A_TOL, A_MAX, S_TOL, S_MAX, id(fp))
     prep = form._jit(kb + ("prep",), prep_fn)
     step = form._jit(
         kb + ("step", mode),

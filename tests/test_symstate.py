@@ -86,6 +86,36 @@ def test_symhess_vector_energy():
     assert np.abs(y_sym - y_full).max() < 1e-12 * np.abs(y_full).max()
 
 
+def test_planar_assembly_3d_matches_blocked():
+    """The 3D planar batched-GEMM assembly route (_elmat_planar, round 4)
+    equals the blocked-W0 route for both full and SymHess states, and
+    MFEM_AD_TPU_PLANAR_ASM=0 restores the blocked route."""
+    import os
+
+    from mfem_ad_tpu.ad import NeoHookeanEnergy
+
+    m = mesh.make_cartesian_3d(3, 3, 3)
+    fes = fespace.FESpace(m, order=1, vdim=3)
+    intg = ADBlockIntegrator(
+        NeoHookeanEnergy(3, 1.0, 1.0), [fes], [ADEval.GRAD | ADEval.VECTOR]
+    )
+    assert "0_0" in intg.tables["W0p"]  # planar factor built (nq <= 32)
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(0.02 * rng.standard_normal(fes.ndof))
+    Hq = intg.hess_state([u])
+    sh = intg.hess_state([u], sym=True)
+    os.environ["MFEM_AD_TPU_PLANAR_ASM"] = "0"
+    try:
+        A_ref = np.asarray(intg.element_matrices(Hq, 0, 0))
+    finally:
+        del os.environ["MFEM_AD_TPU_PLANAR_ASM"]
+    A_pl = np.asarray(intg.element_matrices(Hq, 0, 0))
+    A_ps = np.asarray(intg.element_matrices(sh, 0, 0))
+    scale = np.abs(A_ref).max()
+    assert np.abs(A_pl - A_ref).max() < 1e-9 * scale
+    assert np.abs(A_ps - A_ref).max() < 1e-9 * scale
+
+
 def test_symhess_block_system_newton_state():
     """forms.grad_state_raw packs by default; grad_mult/diag/assemble_dense
     agree with the unpacked policy on the ex4-style saddle form."""
