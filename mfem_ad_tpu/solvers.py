@@ -1337,13 +1337,131 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
         and _os.environ.get("MFEM_AD_TPU_SIGMA_WOODBURY", "1") != "0"
     )
     mode = "direct" if use_direct else ("wb" if use_wb else "blk")
+    # Large-scale HOST-DRIVEN preconditioner application: the one-program
+    # step_fn's server-side COMPILE grows past the tunnel worker's ~60 s
+    # watchdog at ex5 ref-4 scale (a single V-cycle program alone takes
+    # ~49 s to compile there) and the kill leaves the client hung on the
+    # socket (observed three times).  Above the threshold the LDU apply
+    # runs as a host loop over SMALL jitted pieces — V-cycle / matvec /
+    # node-block solve, each individually compile-safe — with the CG
+    # recurrences in eager device ops.  MFEM_AD_TPU_LDU_HOST=1/0 forces.
+    host_force = _os.environ.get("MFEM_AD_TPU_LDU_HOST")
+    host_mode = (
+        mode != "direct"
+        and fp is not None
+        and (host_force == "1"
+             or (host_force != "0" and form.ndof > 100_000))
+    )
     kb = ("schur_ldu", tol, m, A_TOL, A_MAX, S_TOL, S_MAX, id(fp))
     prep = form._jit(kb + ("prep",), prep_fn)
-    step = form._jit(
-        kb + ("step", mode),
-        {"direct": step_fn_direct, "wb": step_fn_wb, "blk": step_fn}[mode],
-    )
+    step = None
+    if not host_mode:
+        step = form._jit(
+            kb + ("step", mode),
+            {"direct": step_fn_direct, "wb": step_fn_wb,
+             "blk": step_fn}[mode],
+        )
     mvj = form._jit(kb + ("mv",), mvs_fn)
+    j_mv = form._jit(kb + ("rawmv",), form.grad_mult_raw)
+    j_VA = form._jit(
+        kb + ("VA",), lambda pdata, v: fp.apply_primal(pdata, v)
+    ) if fp is not None else None
+    j_VS = form._jit(
+        kb + ("VS",), lambda pdata, v, sdata: fp.apply_primal(
+            pdata, v, sdata
+        )
+    ) if (fp is not None and hasattr(fp, "shift_data")) else None
+    j_Dt = form._jit(
+        kb + ("Dt",),
+        lambda Binv, w: jnp.einsum(
+            "nvw,wn->vn", Binv, w.reshape(vl, nds_l)
+        ).reshape(-1),
+    )
+
+    def _host_cg(mv, bvec, M, maxiter, rtol):
+        """Fixed-budget PCG with host-side recurrences over device ops
+        (each mv/M call is its own watchdog-safe program)."""
+        xk = jnp.zeros_like(bvec)
+        rk = bvec
+        zk = M(rk)
+        pk = zk
+        rz = float(jnp.vdot(rk, zk))
+        b2 = float(jnp.vdot(bvec, bvec))
+        if b2 == 0.0:
+            return xk
+        for _ in range(maxiter):
+            Ap = mv(pk)
+            pAp = float(jnp.vdot(pk, Ap))
+            if pAp <= 0.0 or not np.isfinite(pAp):
+                break
+            ak = rz / pAp
+            xk = xk + ak * pk
+            rk = rk - ak * Ap
+            if float(jnp.vdot(rk, rk)) <= rtol * rtol * b2:
+                break
+            zk = M(rk)
+            rz_new = float(jnp.vdot(rk, zk))
+            pk = zk + (rz_new / rz) * pk
+            rz = rz_new
+        return xk
+
+    def _host_step(state, arrays, sdata, v):
+        """One FGMRES step (z = M_ldu v, w = J z) from small programs."""
+        alpha = alpha_f
+        a2 = alpha * alpha
+        zero_l = jnp.zeros(form.ndof - n0)
+        zero_u = jnp.zeros(n0)
+
+        def mvraw(u):
+            return j_mv(tables, ess, state, u)
+
+        def V_A(u):
+            return j_VA(pdata, u)
+
+        if mode == "wb":
+            Binv = arrays["Dblk_inv"]
+
+            def SigM(w):
+                z0 = j_Dt(Binv, w)
+                t1 = mvraw(jnp.concatenate([zero_u, z0]))[:n0]
+                z1 = j_VS(pdata, t1, sdata)
+                t2 = mvraw(jnp.concatenate([z1, zero_l]))[n0:]
+                return (z0 - j_Dt(Binv, t2)) / a2
+        else:
+            Binv = arrays["Sig_blk_inv"]
+
+            def SigM(w):
+                return j_Dt(Binv, w) / a2
+
+        def Sig_mv(w):
+            t2 = mvraw(jnp.concatenate([zero_u, w]))
+            return a2 * (
+                -t2[n0:]
+                + mvraw(
+                    jnp.concatenate([V_A(t2[:n0]), zero_l])
+                )[n0:]
+            )
+
+        def Asolve(rhs):
+            return _host_cg(
+                lambda u: mvraw(jnp.concatenate([u, zero_l]))[:n0],
+                rhs, V_A, A_MAX, A_TOL,
+            )
+
+        vj = jnp.asarray(v)
+        ru, rp = vj[:n0], vj[n0:]
+        zu1 = Asolve(ru)
+        rhs_p = rp - alpha * mvraw(
+            jnp.concatenate([zu1, zero_l])
+        )[n0:]
+        zp = -_host_cg(Sig_mv, rhs_p, SigM, int(min(S_MAX, 60)), S_TOL)
+        zu = Asolve(
+            ru - alpha * mvraw(jnp.concatenate([zero_u, zp]))[:n0]
+        )
+        z = jnp.concatenate([zu, zp])
+        w = mvraw(jnp.concatenate([z[:n0], alpha * z[n0:]]))
+        w = jnp.concatenate([w[:n0], alpha * w[n0:]])
+        return z, w
 
     alpha_j = jnp.asarray(alpha_f)
     _dbg = _os.environ.get("MFEM_AD_TPU_LDU_DEBUG")
@@ -1381,7 +1499,9 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
         y = None
         for j in range(m):
             _t0 = _time.perf_counter()
-            if use_direct:
+            if host_mode:
+                z, w = _host_step(state, arrays, sdata, V[j])
+            elif use_direct:
                 z, w = step(tables, ess, state, arrays, pdata, alpha_j,
                             sd["Sinv"], sd.get("Ainv"),
                             jnp.asarray(V[j]))
