@@ -69,7 +69,9 @@ def _primal_gmg(order: int, ref_levels: int, n0: int):
         f.set_essential_bc([np.ones(m.max_bdr_attribute())])
         return f
 
-    forms = build_hp_hierarchy(build_fn, n0, ref_levels + 1, order)
+    levels = _gmg_levels(ref_levels)
+    n0_eff = n0 * 2 ** (ref_levels + 1 - levels)
+    forms = build_hp_hierarchy(build_fn, n0_eff, levels, order)
     return PGSchurGMG(GMG(forms))
 
 
@@ -102,6 +104,19 @@ def build(order: int = 2, ref_levels: int = 3, n0: int = 10) -> Problem:
         mesh=m, primal_space=primal, latent_space=latent, form=form,
         rhs=jnp.asarray(rhs), pg=pg,
     )
+
+
+def _gmg_levels(ref_levels: int) -> int:
+    """Hierarchy depth cap for the tunneled TPU: the V-cycle's jitted
+    program grows with level count, and at ref 4 the full 6-level
+    program's server-side COMPILE exceeds the worker's ~60 s watchdog
+    (killed without a response — the client hangs).  Cap at 4 geometric
+    levels — the coarse dense solve just covers more of the hierarchy —
+    and override with MFEM_AD_TPU_GMG_LEVELS."""
+    import os
+
+    cap = int(os.environ.get("MFEM_AD_TPU_GMG_LEVELS", "4"))
+    return min(ref_levels + 1, cap)
 
 
 def solve(
