@@ -965,6 +965,27 @@ class ADBlockIntegrator:
                     # drop the copy-pad tail (its w=0 values are zero)
                     full = full[:ne_true]
                 return _fast_scatter(full, meta, vdim, nd)
+            if inv is not None:
+                # unstructured shard mode: place the local chunk into a
+                # full-length zero element array (same pattern as the
+                # structured branch above), then run the transpose-gather
+                # locally; the caller's psum over shards completes the
+                # sum.  The sentinel index (ne_true*nd) lands either on
+                # the appended zero row or on a zero copy-pad slot.
+                ne_local = re.shape[0]
+                k = jax.lax.axis_index(axis)
+                full = jnp.zeros(
+                    (ne_local * K,) + re.shape[1:], dtype=re.dtype
+                )
+                full = jax.lax.dynamic_update_slice_in_dim(
+                    full, re, k * ne_local, axis=0
+                )
+                flat = full.reshape(-1, vdim)
+                padded = jnp.concatenate(
+                    [flat, jnp.zeros((1, vdim), re.dtype)], axis=0
+                )
+                r = padded[inv].sum(axis=1)  # [nds, vdim]
+                return r.T.reshape(-1)
             fast = False
         if fast:
             out = _fast_scatter(re, meta, vdim, nd)
@@ -1478,7 +1499,12 @@ class ADBlockIntegrator:
                 k: (padel(ed), phi) for k, (ed, phi) in t["field"].items()
             },
         }
-        for k in ("R", "R0", "D0", "W", "W0"):  # shared: replicate as-is
+        # shared/per-dof tables: replicate as-is.  W0p keeps the planar 3D
+        # assembly route; einv keeps the unstructured transpose-gather
+        # scatter (its flat indices target the TRUE element slots, and the
+        # copy-padded tail carries zero-weight contributions, so the map
+        # stays exact on padded tables).
+        for k in ("R", "R0", "D0", "W", "W0", "W0p", "einv"):
             if k in t:
                 out[k] = t[k]
         return out

@@ -149,3 +149,76 @@ def test_blocked_factor_routing_cost_model():
     )
     assert "0_0" not in i_3d.tables["W"]
     assert "0_0" in i_3d.tables["W0"]
+
+
+def test_padded_tables_keep_planar_and_unstructured_routes():
+    """padded_tables must carry the W0p (planar 3D assembly) and einv
+    (unstructured transpose-gather scatter) tables through the copy-pad
+    (VERDICT r4 #4: both were silently dropped, demoting non-divisible
+    ShardedForms to slower routes)."""
+    from mfem_ad_tpu import mesh as M2
+    from mfem_ad_tpu.ad import NeoHookeanEnergy
+
+    # 3D p1 hex, 27 elements (non-divisible by 8): planar factor W0p
+    m3 = M2.make_cartesian_3d(3, 3, 3)
+    i3 = ADBlockIntegrator(
+        NeoHookeanEnergy(3, 1.0, 1.0), [FESpace(m3, 1, H1, vdim=3)],
+        [ADEval.GRAD | ADEval.VECTOR],
+    )
+    assert "0_0" in i3.tables.get("W0p", {})
+    pt = i3.padded_tables(8)
+    assert pt is not i3.tables  # actually padded
+    assert "0_0" in pt.get("W0p", {}), "W0p dropped by padded_tables"
+
+    # unstructured triangle mesh (sloped_rectangle, 12 elements after one
+    # refine -> non-divisible by 8): einv transpose-gather map
+    m2 = M2.read_mfem_mesh(
+        "/root/reference/data/sloped_rectangle.mesh"
+    ).uniform_refine(1)
+    sp = FESpace(m2, 2, H1)
+    i2 = ADBlockIntegrator(MassEnergy(1), [sp], [ADEval.VALUE])
+    assert 0 in i2.tables.get("einv", {})
+    assert sp.num_elements % 8 != 0
+    pt2 = i2.padded_tables(8)
+    assert 0 in pt2.get("einv", {}), "einv dropped by padded_tables"
+
+
+def test_sharded_unstructured_nondivisible_matches_serial():
+    """A non-divisible unstructured ShardedForm must produce identical
+    residual/matvec/diagonal to its serial form — through the einv
+    transpose-gather scatter, not the serialized scatter-add."""
+    import jax
+
+    from mfem_ad_tpu import mesh as M2
+    from mfem_ad_tpu.ad import DiffusionEnergy
+    from mfem_ad_tpu.forms import NonlinearForm
+    from mfem_ad_tpu.parallel import ShardedForm
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    m = M2.read_mfem_mesh(
+        "/root/reference/data/sloped_rectangle.mesh"
+    ).uniform_refine(1)
+    fes = FESpace(m, 2, H1)
+    assert fes.num_elements % 8 != 0
+    nlf = NonlinearForm(fes)
+    nlf.add_ad_integrator(DiffusionEnergy(m.dim), ADEval.GRAD)
+    nlf.set_essential_bc([np.ones(m.max_bdr_attribute())])
+    sf = ShardedForm(nlf)
+    assert 0 in sf.tables[0].get("einv", {})  # route survives sharding
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal(fes.ndof))
+    assert np.allclose(
+        np.asarray(nlf.mult(u)), np.asarray(sf.mult(u)), atol=1e-12
+    )
+    st_s = nlf.grad_state(u)
+    st_p = sf.grad_state(u)
+    v = jnp.asarray(rng.standard_normal(fes.ndof))
+    assert np.allclose(
+        np.asarray(nlf.grad_mult(st_s, v)),
+        np.asarray(sf.grad_mult(st_p, v)), atol=1e-12,
+    )
+    assert np.allclose(
+        np.asarray(nlf.grad_diag(st_s)),
+        np.asarray(sf.grad_diag(st_p)), atol=1e-12,
+    )
