@@ -111,11 +111,15 @@ def _gmg_levels(ref_levels: int) -> int:
     program grows with level count, and at ref 4 the full 6-level
     program's server-side COMPILE exceeds the worker's ~60 s watchdog
     (killed without a response — the client hangs).  Cap at 4 geometric
-    levels — the coarse dense solve just covers more of the hierarchy —
-    and override with MFEM_AD_TPU_GMG_LEVELS."""
+    levels there — the coarse dense solve just covers more of the
+    hierarchy.  Directly-attached backends (cpu/tpu) have no watchdog
+    and keep the full hierarchy.  Override with MFEM_AD_TPU_GMG_LEVELS."""
     import os
 
-    cap = int(os.environ.get("MFEM_AD_TPU_GMG_LEVELS", "4"))
+    from ..solvers import _tunnel_limited
+
+    default = "4" if _tunnel_limited() else "99"
+    cap = int(os.environ.get("MFEM_AD_TPU_GMG_LEVELS", default))
     return min(ref_levels + 1, cap)
 
 

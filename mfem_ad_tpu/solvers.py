@@ -30,6 +30,25 @@ import jax.numpy as jnp
 from .utils import profiling
 
 
+def _tunnel_limited() -> bool:
+    """True when the default backend is a TUNNELED device whose worker
+    enforces a per-call watchdog (the experimental 'axon' RPC platform:
+    single jitted compiles/executions over ~60 s are killed server-side
+    WITHOUT a response, hanging the client).  Directly-attached backends
+    (cpu, tpu, gpu) have no such limit and keep one-program solver paths
+    at any size.  MFEM_AD_TPU_TUNNEL=1/0 overrides the detection."""
+    force = _os.environ.get("MFEM_AD_TPU_TUNNEL")
+    if force is not None:
+        return force == "1"
+    try:
+        # the tunnel masquerades as platform "tpu"; its PJRT plugin name
+        # ("axon <version>") in platform_version is the reliable tell
+        ver = getattr(jax.devices()[0].client, "platform_version", "")
+        return "axon" in ver.lower()
+    except Exception:  # pragma: no cover - backend probing never fatal
+        return False
+
+
 # ---------------------------------------------------------------------------
 # Krylov methods (jittable, matvec closures)
 # ---------------------------------------------------------------------------
@@ -1173,8 +1192,10 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
     # (the client hangs forever; observed twice).  Above 100k dofs the
     # inner budgets shrink to keep one step < ~25 s; the quality loss
     # only adds outer FGMRES iterations (each its own safe execution).
-    # MFEM_AD_TPU_LDU_AMAX / _SMAX override.
-    if form.ndof > 100_000:
+    # MFEM_AD_TPU_LDU_AMAX / _SMAX override.  The shrink applies only on
+    # the watchdog-limited tunnel backend — directly-attached hardware
+    # keeps the full budgets at any size (VERDICT r4 #5).
+    if form.ndof > 100_000 and _tunnel_limited():
         A_MAX, S_MAX = 24, 24
     A_MAX = int(_os.environ.get("MFEM_AD_TPU_LDU_AMAX", A_MAX))
     S_MAX = int(_os.environ.get("MFEM_AD_TPU_LDU_SMAX", S_MAX))
@@ -1345,12 +1366,17 @@ def _ldu_fgmres(form, opts, fp, x, b, fields, pdata, prep_fn):
     # runs as a host loop over SMALL jitted pieces — V-cycle / matvec /
     # node-block solve, each individually compile-safe — with the CG
     # recurrences in eager device ops.  MFEM_AD_TPU_LDU_HOST=1/0 forces.
+    # The demotion keys on the environment that HAS the watchdog (the
+    # experimental tunneled backend), not on problem size alone: CPU and
+    # directly-attached TPUs compile large programs fine and keep the
+    # faster one-program path at any size (VERDICT r4 #5).
     host_force = _os.environ.get("MFEM_AD_TPU_LDU_HOST")
     host_mode = (
         mode != "direct"
         and fp is not None
         and (host_force == "1"
-             or (host_force != "0" and form.ndof > 100_000))
+             or (host_force != "0" and form.ndof > 100_000
+                 and _tunnel_limited()))
     )
     kb = ("schur_ldu", tol, m, A_TOL, A_MAX, S_TOL, S_MAX, id(fp))
     prep = form._jit(kb + ("prep",), prep_fn)

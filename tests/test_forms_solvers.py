@@ -246,3 +246,19 @@ def test_pg_schur_obstacle_converges():
     assert res.converged
     u = np.asarray(res.x[: pb.primal_space.ndof])
     assert u.min() > -1e-8 and u.max() < 0.5 + 1e-2
+
+
+def test_tunnel_detection_gates_host_mode(monkeypatch):
+    """The host-driven LDU demotion and shrunk inner budgets key on the
+    watchdog-limited tunnel backend, not on problem size alone (VERDICT
+    r4 #5): on cpu/directly-attached backends _tunnel_limited() is False
+    so >100k-dof problems keep the fast one-program path; the env
+    override forces either way."""
+    from mfem_ad_tpu import solvers
+
+    monkeypatch.delenv("MFEM_AD_TPU_TUNNEL", raising=False)
+    assert solvers._tunnel_limited() is False  # tests run on cpu
+    monkeypatch.setenv("MFEM_AD_TPU_TUNNEL", "1")
+    assert solvers._tunnel_limited() is True
+    monkeypatch.setenv("MFEM_AD_TPU_TUNNEL", "0")
+    assert solvers._tunnel_limited() is False
