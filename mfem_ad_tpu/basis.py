@@ -22,7 +22,14 @@ import functools
 
 import numpy as np
 
-from .quadrature import CUBE, GEOM_DIM, SEGMENT, SQUARE, TRIANGLE
+from .quadrature import (
+    CUBE,
+    GEOM_DIM,
+    SEGMENT,
+    SQUARE,
+    TETRAHEDRON,
+    TRIANGLE,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +151,75 @@ def _dubiner(i: int, j: int, x: np.ndarray, y: np.ndarray):
     return val, dx, dy
 
 
+def _dubiner3(i: int, j: int, k: int, x, y, z):
+    """3D Dubiner (PKD) polynomial psi_{ijk} and its gradient on the unit
+    tetrahedron {x,y,z >= 0, x+y+z <= 1} (Karniadakis-Sherwin collapsed
+    coordinates).  Total degree i+j+k; the singular factors at the
+    collapsed edges cancel and we evaluate the polynomial-safe forms, as
+    in the 2D `_dubiner`.
+
+    psi = P_i^{0,0}(a) u^i  *  P_j^{2i+1,0}(b) v^j  *  P_k^{2i+2j+2,0}(c)
+    with u = 1-y-z, v = 1-z, a = 2x/u - 1, b = 2y/v - 1, c = 2z - 1.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    u = 1.0 - y - z
+    v = 1.0 - z
+    usafe = np.where(np.abs(u) < 1e-14, 1.0, u)
+    a = 2.0 * x / usafe - 1.0
+    a = np.where(np.abs(u) < 1e-14, -1.0, a)  # value irrelevant (×u^i)
+    vsafe = np.where(np.abs(v) < 1e-14, 1.0, v)
+    b = 2.0 * y / vsafe - 1.0
+    b = np.where(np.abs(v) < 1e-14, -1.0, b)
+    c = 2.0 * z - 1.0
+
+    Pi = _jacobi(i, 0.0, 0.0, a)
+    dPi = _jacobi_deriv(i, 0.0, 0.0, a)
+    Qj = _jacobi(j, 2.0 * i + 1.0, 0.0, b)
+    dQj = _jacobi_deriv(j, 2.0 * i + 1.0, 0.0, b)
+    Rk = _jacobi(k, 2.0 * (i + j) + 2.0, 0.0, c)
+    dRk = _jacobi_deriv(k, 2.0 * (i + j) + 2.0, 0.0, c)
+
+    u_i = u**i
+    u_im1 = u ** max(i - 1, 0)
+    v_j = v**j
+    v_jm1 = v ** max(j - 1, 0)
+
+    F = Pi * u_i
+    G = Qj * v_j
+    R = Rk
+    val = F * G * R
+
+    zero = np.zeros_like(val)
+    # polynomial-safe partials of F(x, u) = P_i(a) u^i  (2x/u = 1+a):
+    #   F_x = 2 P_i' u^{i-1};  F_u = (i P_i - (1+a) P_i') u^{i-1}
+    Fx = 2.0 * dPi * u_im1 if i > 0 else zero
+    Fu = (i * Pi - (1.0 + a) * dPi) * u_im1 if i > 0 else zero
+    # and of G(y, v) = Q_j(b) v^j  (2y/v = 1+b)
+    Gy = 2.0 * dQj * v_jm1 if j > 0 else zero
+    Gv = (j * Qj - (1.0 + b) * dQj) * v_jm1 if j > 0 else zero
+    Rz = 2.0 * dRk
+
+    # chain rule through u = 1-y-z (du/dy = du/dz = -1), v = 1-z
+    dx = Fx * G * R
+    dy = -Fu * G * R + F * Gy * R
+    dz = -Fu * G * R - F * Gv * R + F * G * Rz
+    return val, dx, dy, dz
+
+
+def _tet_lattice(p: int) -> np.ndarray:
+    """Equispaced lattice nodes on the unit tet, lexicographic in (k,j,i)."""
+    if p == 0:
+        return np.array([[0.25, 0.25, 0.25]])
+    pts = []
+    for k in range(p + 1):
+        for j in range(p + 1 - k):
+            for i in range(p + 1 - k - j):
+                pts.append((i / p, j / p, k / p))
+    return np.array(pts, dtype=np.float64)
+
+
 def _tri_lattice(p: int) -> np.ndarray:
     """Equispaced lattice nodes on the unit triangle, lexicographic in (j,i)."""
     if p == 0:
@@ -201,6 +277,9 @@ class RefElement:
         elif geom == TRIANGLE:
             self.nodes = _tri_lattice(p)
             self._tri_setup()
+        elif geom == TETRAHEDRON:
+            self.nodes = _tet_lattice(p)
+            self._tet_setup()
         else:
             raise ValueError(f"unsupported geometry {geom!r}")
         self.ndof = self.nodes.shape[0]
@@ -217,6 +296,26 @@ class RefElement:
         for c, (i, j) in enumerate(idx):
             V[:, c], _, _ = _dubiner(i, j, self.nodes[:, 0], self.nodes[:, 1])
         self._tri_coeff = np.linalg.inv(V)  # [n_modes, n_nodes]
+
+    # -- tetrahedron: invert 3D Dubiner Vandermonde once --
+    def _tet_setup(self):
+        p = self.p
+        idx = [
+            (i, j, k)
+            for k in range(p + 1)
+            for j in range(p + 1 - k)
+            for i in range(p + 1 - k - j)
+        ]
+        if p == 0:
+            idx = [(0, 0, 0)]
+        self._tet_idx = idx
+        n = len(idx)
+        V = np.zeros((self.nodes.shape[0], n))
+        for c, (i, j, k) in enumerate(idx):
+            V[:, c], _, _, _ = _dubiner3(
+                i, j, k, self.nodes[:, 0], self.nodes[:, 1], self.nodes[:, 2]
+            )
+        self._tet_coeff = np.linalg.inv(V)  # [n_modes, n_nodes]
 
     def eval(self, points: np.ndarray) -> np.ndarray:
         pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
@@ -239,6 +338,14 @@ class RefElement:
             for c, (i, j) in enumerate(self._tri_idx):
                 V[:, c], _, _ = _dubiner(i, j, pts[:, 0], pts[:, 1])
             return V @ self._tri_coeff
+        if self.geom == TETRAHEDRON:
+            n = len(self._tet_idx)
+            V = np.zeros((pts.shape[0], n))
+            for c, (i, j, k) in enumerate(self._tet_idx):
+                V[:, c], _, _, _ = _dubiner3(
+                    i, j, k, pts[:, 0], pts[:, 1], pts[:, 2]
+                )
+            return V @ self._tet_coeff
         raise AssertionError
 
     def grad(self, points: np.ndarray) -> np.ndarray:
@@ -273,6 +380,23 @@ class RefElement:
                 _, Gx[:, c], Gy[:, c] = _dubiner(i, j, pts[:, 0], pts[:, 1])
             return np.stack(
                 [Gx @ self._tri_coeff, Gy @ self._tri_coeff], axis=2
+            )
+        if self.geom == TETRAHEDRON:
+            n = len(self._tet_idx)
+            Gx = np.zeros((nq, n))
+            Gy = np.zeros((nq, n))
+            Gz = np.zeros((nq, n))
+            for c, (i, j, k) in enumerate(self._tet_idx):
+                _, Gx[:, c], Gy[:, c], Gz[:, c] = _dubiner3(
+                    i, j, k, pts[:, 0], pts[:, 1], pts[:, 2]
+                )
+            return np.stack(
+                [
+                    Gx @ self._tet_coeff,
+                    Gy @ self._tet_coeff,
+                    Gz @ self._tet_coeff,
+                ],
+                axis=2,
             )
         raise AssertionError
 

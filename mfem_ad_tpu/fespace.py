@@ -21,7 +21,7 @@ import numpy as np
 
 from .basis import lobatto_points, ref_element
 from .mesh import Mesh
-from .quadrature import CUBE, SEGMENT, SQUARE, TRIANGLE
+from .quadrature import CUBE, SEGMENT, SQUARE, TETRAHEDRON, TRIANGLE
 
 H1 = "H1"
 L2 = "L2"
@@ -40,6 +40,10 @@ _HEX_FACES = [
     (0, 1, 4, 5), (2, 3, 6, 7),  # y=0, y=1
     (0, 2, 4, 6), (1, 3, 5, 7),  # x=0, x=1
 ]
+_TET_EDGES = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+# triangular faces as corner triples (the barycentric coordinate that
+# vanishes on each: k, j, i, lambda0 respectively)
+_TET_FACES = [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
 
 
 def _classify_tensor_nodes(geom: str, p: int):
@@ -122,9 +126,55 @@ def _classify_tensor_nodes(geom: str, p: int):
                     recs.append(("i", ii))
                     ii += 1
                 node += 1
+    elif geom == TETRAHEDRON:
+        # lattice (i, j, k), i+j+k <= p, loops k outer / j / i inner
+        # (matching basis._tet_lattice); barycentrics
+        # (l0, i, j, k) with l0 = p - i - j - k.
+        ii = 0
+        for k in range(p + 1):
+            for j in range(p + 1 - k):
+                for i in range(p + 1 - k - j):
+                    l0 = p - i - j - k
+                    nz = [(l0 > 0), (i > 0), (j > 0), (k > 0)]
+                    n_nz = sum(nz)
+                    if n_nz == 1:  # vertex
+                        recs.append(("v", nz.index(True)))
+                    elif n_nz == 2:  # edge interior
+                        if j == 0 and k == 0:
+                            recs.append(("e", 0, i))  # (0,1)
+                        elif i == 0 and k == 0:
+                            recs.append(("e", 1, j))  # (0,2)
+                        elif i == 0 and j == 0:
+                            recs.append(("e", 2, k))  # (0,3)
+                        elif k == 0:
+                            recs.append(("e", 3, j))  # (1,2), param along 1->2
+                        elif j == 0:
+                            recs.append(("e", 4, k))  # (1,3)
+                        else:
+                            recs.append(("e", 5, k))  # (2,3)
+                    elif n_nz == 3:  # face interior: bary in local order
+                        if k == 0:
+                            recs.append(("f3", 0, (l0, i, j)))
+                        elif j == 0:
+                            recs.append(("f3", 1, (l0, i, k)))
+                        elif i == 0:
+                            recs.append(("f3", 2, (l0, j, k)))
+                        else:  # l0 == 0
+                            recs.append(("f3", 3, (i, j, k)))
+                    else:
+                        recs.append(("i", ii))
+                        ii += 1
     else:
         raise ValueError(geom)
     return recs
+
+
+def _tri_face_index(b1, b2, p):
+    """Canonical index of a triangular-face interior node with
+    barycentrics (p-b1-b2, b1, b2) w.r.t. the SORTED (ascending global
+    id) face corners: enumeration b2 outer from 1, b1 inner from 1."""
+    off = (b2 - 1) * (p - 1) - (b2 - 1) * b2 // 2
+    return off + b1 - 1
 
 
 def _edge_params(geom: str, p: int) -> np.ndarray:
@@ -325,10 +375,13 @@ class FESpace:
             ledges, lfaces = _TRI_EDGES, []
         elif geom == CUBE:
             ledges, lfaces = _HEX_EDGES, _HEX_FACES
+        elif geom == TETRAHEDRON:
+            ledges, lfaces = _TET_EDGES, _TET_FACES
         else:
             raise ValueError(geom)
+        fw = len(lfaces[0]) if lfaces else 4  # face corner count (3 or 4)
 
-        # ---- unique edges (sorted pairs) and faces (sorted quadruples)
+        # ---- unique edges (sorted pairs) and faces (sorted tuples)
         el_edges = e[:, np.array(ledges)]  # [ne, nle, 2] one fancy gather
         flat_edges = np.sort(el_edges.reshape(-1, 2), axis=1)
         from .native import unique_rows as _native_unique
@@ -338,23 +391,24 @@ class FESpace:
         n_edges = uniq_edges.shape[0]
 
         if lfaces:
-            el_faces = e[:, np.array(lfaces)]  # [ne, nlf, 4]
+            el_faces = e[:, np.array(lfaces)]  # [ne, nlf, fw]
             n_lf = len(lfaces)
         else:
-            el_faces = np.zeros((ne, 0, 4), dtype=np.int64)
+            el_faces = np.zeros((ne, 0, fw), dtype=np.int64)
             n_lf = 0
         if n_lf:
-            flat_faces = np.sort(el_faces.reshape(-1, 4), axis=1)
+            flat_faces = np.sort(el_faces.reshape(-1, fw), axis=1)
             uniq_faces, face_inv = _native_unique(flat_faces)
             face_inv = face_inv.reshape(ne, n_lf)
             n_faces = uniq_faces.shape[0]
         else:
-            uniq_faces = np.zeros((0, 4), dtype=np.int64)
+            uniq_faces = np.zeros((0, fw), dtype=np.int64)
             face_inv = np.zeros((ne, 0), dtype=np.int64)
             n_faces = 0
 
         npe = p - 1  # dofs per edge
-        npf = (p - 1) ** 2  # dofs per (quad) face
+        # dofs per face: quad (p-1)^2, triangle (p-1)(p-2)/2
+        npf = (p - 1) ** 2 if fw == 4 else (p - 1) * (p - 2) // 2
         recs = _classify_tensor_nodes(geom, p)
         n_int = sum(1 for r in recs if r[0] == "i")
 
@@ -387,6 +441,20 @@ class FESpace:
                     + (kkt - 1) * (p - 1)
                     + (kks - 1)
                 )
+            elif kind == "f3":
+                # triangular face: barycentrics permute with the corners,
+                # so the canonical index comes from sorting the global
+                # corner ids ascending and permuting the node's local
+                # barycentric triple the same way
+                lf, bary = rec[1], np.array(rec[2], dtype=np.int64)
+                g = el_faces[:, lf, :]  # [ne, 3] global ids, local order
+                sigma = np.argsort(g, axis=1)  # canonical = ascending ids
+                B = bary[sigma]  # [ne, 3] canonical barycentrics
+                edof[:, li] = (
+                    off_face
+                    + face_inv[:, lf] * npf
+                    + _tri_face_index(B[:, 1], B[:, 2], p)
+                )
             else:
                 edof[:, li] = off_int + np.arange(ne) * n_int + rec[1]
         self.edof = edof.astype(np.int32)
@@ -401,20 +469,34 @@ class FESpace:
             t = tpar[1:p][None, :, None]
             coords[off_edge:off_face] = ((1.0 - t) * a + t * b).reshape(-1, mesh.dim)
         if npf > 0 and n_faces > 0:
-            cf = _canonical_face_corners(uniq_faces, el_faces, face_inv)
-            A, B, C, D = (V[cf[:, i]][:, None, None, :] for i in range(4))
-            s = tpar[1:p][None, :, None, None]
-            t = tpar[1:p][None, None, :, None]
-            bil = (
-                (1 - s) * (1 - t) * A
-                + s * (1 - t) * B
-                + (1 - s) * t * C
-                + s * t * D
-            )
-            # index layout: face*npf + (kt-1)*(p-1) + (ks-1)  -> t outer, s inner
-            coords[off_face:off_int] = np.transpose(bil, (0, 2, 1, 3)).reshape(
-                -1, mesh.dim
-            )
+            if fw == 3:
+                # triangular faces: uniq rows are ascending = canonical;
+                # enumeration b2 outer from 1, b1 inner (_tri_face_index)
+                G0, G1, G2 = (V[uniq_faces[:, i]] for i in range(3))
+                fc = np.empty((n_faces, npf, mesh.dim))
+                pos = 0
+                for b2 in range(1, p - 1):
+                    for b1 in range(1, p - b2):
+                        b0 = p - b1 - b2
+                        fc[:, pos] = (b0 * G0 + b1 * G1 + b2 * G2) / p
+                        pos += 1
+                coords[off_face:off_int] = fc.reshape(-1, mesh.dim)
+            else:
+                cf = _canonical_face_corners(uniq_faces, el_faces, face_inv)
+                A, B, C, D = (V[cf[:, i]][:, None, None, :] for i in range(4))
+                s = tpar[1:p][None, :, None, None]
+                t = tpar[1:p][None, None, :, None]
+                bil = (
+                    (1 - s) * (1 - t) * A
+                    + s * (1 - t) * B
+                    + (1 - s) * t * C
+                    + s * t * D
+                )
+                # index layout: face*npf + (kt-1)*(p-1) + (ks-1)
+                # -> t outer, s inner
+                coords[off_face:off_int] = np.transpose(
+                    bil, (0, 2, 1, 3)
+                ).reshape(-1, mesh.dim)
         if n_int > 0:
             Xe = self._geometry_node_coords()
             ii = [li for li, r in enumerate(recs) if r[0] == "i"]
@@ -509,6 +591,26 @@ class FESpace:
                 dofs.append(
                     (off_edge + eidx[:, None] * npe + np.arange(npe)[None, :]).ravel()
                 )
+            elif bels.shape[1] == 3:
+                # boundary triangles [a,b,c]: edges ab, ac, bc + tri face
+                for pr in [(0, 1), (0, 2), (1, 2)]:
+                    eidx = self._find_edges(bels[:, list(pr)])
+                    dofs.append(
+                        (
+                            off_edge
+                            + eidx[:, None] * npe
+                            + np.arange(npe)[None, :]
+                        ).ravel()
+                    )
+                if npf > 0:
+                    fidx = self._find_faces(bels)
+                    dofs.append(
+                        (
+                            off_face
+                            + fidx[:, None] * npf
+                            + np.arange(npf)[None, :]
+                        ).ravel()
+                    )
             else:
                 # boundary quads [a,b,c,d] lex: edges ab, cd, ac, bd
                 for pr in [(0, 1), (2, 3), (0, 2), (1, 3)]:

@@ -22,9 +22,23 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .quadrature import CUBE, GEOM_DIM, N_CORNERS, SEGMENT, SQUARE, TRIANGLE
+from .quadrature import (
+    CUBE,
+    GEOM_DIM,
+    N_CORNERS,
+    SEGMENT,
+    SQUARE,
+    TETRAHEDRON,
+    TRIANGLE,
+)
 
-_FACE_GEOM = {SEGMENT: None, TRIANGLE: SEGMENT, SQUARE: SEGMENT, CUBE: SQUARE}
+_FACE_GEOM = {
+    SEGMENT: None,
+    TRIANGLE: SEGMENT,
+    SQUARE: SEGMENT,
+    CUBE: SQUARE,
+    TETRAHEDRON: TRIANGLE,
+}
 
 
 @dataclass
@@ -154,6 +168,7 @@ def make_cartesian_3d(
     sx: float = 1.0,
     sy: float = 1.0,
     sz: float = 1.0,
+    geom: str = CUBE,
 ) -> Mesh:
     xs = np.linspace(0.0, sx, nx + 1)
     ys = np.linspace(0.0, sy, ny + 1)
@@ -176,23 +191,55 @@ def make_cartesian_3d(
         np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
     )
     I, J, K = I.ravel(), J.ravel(), K.ravel()
-    elements = np.stack(
-        [
-            vid(I, J, K),
-            vid(I + 1, J, K),
-            vid(I, J + 1, K),
-            vid(I + 1, J + 1, K),
-            vid(I, J, K + 1),
-            vid(I + 1, J, K + 1),
-            vid(I, J + 1, K + 1),
-            vid(I + 1, J + 1, K + 1),
-        ],
-        axis=1,
-    )
+    if geom == CUBE:
+        elements = np.stack(
+            [
+                vid(I, J, K),
+                vid(I + 1, J, K),
+                vid(I, J + 1, K),
+                vid(I + 1, J + 1, K),
+                vid(I, J, K + 1),
+                vid(I + 1, J, K + 1),
+                vid(I, J + 1, K + 1),
+                vid(I + 1, J + 1, K + 1),
+            ],
+            axis=1,
+        )
+    elif geom == TETRAHEDRON:
+        # Kuhn triangulation: 6 tets per cube, all sharing the main
+        # diagonal (i,j,k)-(i+1,j+1,k+1); neighbor cubes induce identical
+        # face diagonals, so the triangulation is conforming.  Vertex
+        # orders are positively oriented (dets verified in tests).
+        c = {
+            (a, b, d): vid(I + a, J + b, K + d)
+            for a in (0, 1) for b in (0, 1) for d in (0, 1)
+        }
+        kuhn = [
+            # walk x,y,z / x,z,y / ... with odd permutations swapped to
+            # keep det > 0
+            ((0, 0, 0), (1, 0, 0), (1, 1, 0), (1, 1, 1)),
+            ((0, 0, 0), (1, 0, 1), (1, 0, 0), (1, 1, 1)),
+            ((0, 0, 0), (1, 1, 0), (0, 1, 0), (1, 1, 1)),
+            ((0, 0, 0), (0, 1, 0), (0, 1, 1), (1, 1, 1)),
+            ((0, 0, 0), (0, 0, 1), (1, 0, 1), (1, 1, 1)),
+            ((0, 0, 0), (0, 1, 1), (0, 0, 1), (1, 1, 1)),
+        ]
+        elements = np.concatenate(
+            [np.stack([c[v] for v in t], axis=1) for t in kuhn], axis=0
+        )
+    else:
+        raise ValueError("3D geometry must be CUBE or TETRAHEDRON")
 
     bdr, battr = [], []
 
     def quad_face(a, b, c, d, attr, n):
+        if geom == TETRAHEDRON:
+            # split along the a-d diagonal — the one the Kuhn
+            # triangulation induces on every axis-aligned cell face
+            bdr.append(np.stack([a, b, d], axis=1))
+            bdr.append(np.stack([a, d, c], axis=1))
+            battr.append(np.full(2 * n, attr))
+            return
         bdr.append(np.stack([a, b, c, d], axis=1))
         battr.append(np.full(n, attr))
 
@@ -207,13 +254,15 @@ def make_cartesian_3d(
     quad_face(vid(nx, J2, K2), vid(nx, J2 + 1, K2), vid(nx, J2, K2 + 1), vid(nx, J2 + 1, K2 + 1), 3, J2.size)
 
     return Mesh(
-        geom=CUBE,
+        geom=geom,
         vertices=vertices,
         elements=elements.astype(np.int32),
         attributes=np.ones(elements.shape[0], dtype=np.int32),
         bdr_elements=np.concatenate(bdr).astype(np.int32),
         bdr_attributes=np.concatenate(battr).astype(np.int32),
-        structured=("cart3d", nx, ny, nz, sx, sy, sz),
+        structured=(
+            ("cart3d", nx, ny, nz, sx, sy, sz) if geom == CUBE else None
+        ),
     )
 
 
@@ -274,6 +323,53 @@ def _refine_once(m: Mesh) -> Mesh:
             axis=0,
         )
         new_battr = np.tile(m.bdr_attributes, 2)
+    elif m.geom == TETRAHEDRON:
+        e = m.elements  # [v0, v1, v2, v3]
+        edge_pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        bedges = np.concatenate(
+            [m.bdr_elements[:, [0, 1]], m.bdr_elements[:, [0, 2]],
+             m.bdr_elements[:, [1, 2]]], axis=0,
+        )
+        edges = np.concatenate([e[:, list(p)] for p in edge_pairs], axis=0)
+        uniq, inv, binv = _unique_rows(edges, bedges)
+        mid = nv + inv.reshape(6, -1)  # m01, m02, m03, m12, m13, m23
+        new_v = np.concatenate([m.vertices, m.vertices[uniq].mean(axis=1)])
+        v0, v1, v2, v3 = e.T
+        m01, m02, m03, m12, m13, m23 = mid
+        # Bey red refinement: 4 corner tets + octahedron split along the
+        # m02-m13 diagonal; orders keep children positively oriented
+        # (each child det = parent det / 8, verified in tests).
+        children = np.concatenate(
+            [
+                np.stack(t, axis=1)
+                for t in [
+                    (v0, m01, m02, m03),
+                    (m01, v1, m12, m13),
+                    (m02, m12, v2, m23),
+                    (m03, m13, m23, v3),
+                    (m01, m02, m03, m13),
+                    (m01, m02, m13, m12),
+                    (m02, m03, m13, m23),
+                    (m02, m12, m23, m13),
+                ]
+            ],
+            axis=0,
+        )
+        attrs = np.tile(m.attributes, 8)
+        nbe = m.bdr_elements.shape[0]
+        bm = (nv + binv).reshape(3, nbe)  # mab, mac, mbc
+        a, b, c = m.bdr_elements.T
+        mab, mac, mbc = bm
+        new_bdr = np.concatenate(
+            [
+                np.stack([a, mab, mac], axis=1),
+                np.stack([mab, b, mbc], axis=1),
+                np.stack([mac, mbc, c], axis=1),
+                np.stack([mab, mbc, mac], axis=1),
+            ],
+            axis=0,
+        )
+        new_battr = np.tile(m.bdr_attributes, 4)
     elif m.geom == SQUARE:
         e = m.elements  # [v00, v10, v01, v11]
         edges = np.concatenate(
@@ -417,9 +513,14 @@ def _refine_once(m: Mesh) -> Mesh:
 # MFEM v1.0 mesh-file reader (covers data/sloped_rectangle.mesh)
 # ---------------------------------------------------------------------------
 
-_MFEM_GEOM = {2: TRIANGLE, 3: SQUARE, 5: CUBE}
+_MFEM_GEOM = {2: TRIANGLE, 3: SQUARE, 4: TETRAHEDRON, 5: CUBE}
 # permutation MFEM (counter-clockwise) -> lexicographic corners
-_MFEM_PERM = {TRIANGLE: [0, 1, 2], SQUARE: [0, 1, 3, 2], CUBE: [0, 1, 3, 2, 4, 5, 7, 6]}
+_MFEM_PERM = {
+    TRIANGLE: [0, 1, 2],
+    SQUARE: [0, 1, 3, 2],
+    TETRAHEDRON: [0, 1, 2, 3],
+    CUBE: [0, 1, 3, 2, 4, 5, 7, 6],
+}
 _MFEM_BDR_PERM = {1: [0, 1], 3: [0, 1, 3, 2]}
 
 

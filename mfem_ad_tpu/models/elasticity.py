@@ -33,11 +33,18 @@ def build(
     mu: float = 1.0,
     n0: int = 10,
     dim: int = 2,
+    geom: str | None = None,
 ) -> Problem:
+    from ..quadrature import TETRAHEDRON, TRIANGLE
+
     if dim == 2:
-        m = M.make_cartesian_2d(n0, n0).uniform_refine(ref_levels)
+        g = TRIANGLE if geom in ("tri", TRIANGLE) else None
+        m = (M.make_cartesian_2d(n0, n0, g) if g
+             else M.make_cartesian_2d(n0, n0)).uniform_refine(ref_levels)
     else:
-        m = M.make_cartesian_3d(n0, n0, n0).uniform_refine(ref_levels)
+        g = TETRAHEDRON if geom in ("tet", TETRAHEDRON) else None
+        m = (M.make_cartesian_3d(n0, n0, n0, geom=g) if g
+             else M.make_cartesian_3d(n0, n0, n0)).uniform_refine(ref_levels)
     fes = FESpace(m, order, vdim=dim)
     nlf = NonlinearForm(fes)
     nlf.add_ad_integrator(
@@ -53,8 +60,8 @@ def build(
 
 
 def solve(order: int = 1, ref_levels: int = 3, lin_solver: str = "cg",
-          dim: int = 2):
-    pb = build(order, ref_levels, dim=dim)
+          dim: int = 2, geom: str | None = None):
+    pb = build(order, ref_levels, dim=dim, geom=geom)
     opts = NewtonOptions(
         abs_tol=1e-10, max_iter=3, lin_solver=lin_solver, lin_tol=1e-14,
         lin_maxiter=20000,

@@ -53,13 +53,19 @@ class Problem:
 
 
 def build(order: int = 2, ref_levels: int = 3, n0: int = 10,
-          lower: float = 0.0, upper: float = 0.5, dim: int = 2) -> Problem:
+          lower: float = 0.0, upper: float = 0.5, dim: int = 2,
+          geom: str | None = None) -> Problem:
     """dim=3 is a superset of the reference (ex4.cpp:78 is 2D-only):
     the whole LVPP stack — mixed H1xL2 block integrator, Schur
     elimination, hp-GMG — is dimension-agnostic, so the hex-mesh
-    obstacle problem comes for free."""
+    (or, with geom="tet", tetrahedral-mesh) obstacle problem comes
+    for free."""
+    from ..quadrature import TETRAHEDRON
+
     if dim == 3:
-        m = M.make_cartesian_3d(n0, n0, n0).uniform_refine(ref_levels)
+        g = TETRAHEDRON if geom in ("tet", TETRAHEDRON) else None
+        m = (M.make_cartesian_3d(n0, n0, n0, geom=g) if g
+             else M.make_cartesian_3d(n0, n0, n0)).uniform_refine(ref_levels)
     else:
         m = M.make_cartesian_2d(n0, n0).uniform_refine(ref_levels)
     dim = m.dim

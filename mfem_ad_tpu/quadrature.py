@@ -21,10 +21,11 @@ SEGMENT = "segment"
 TRIANGLE = "triangle"
 SQUARE = "square"
 CUBE = "cube"
+TETRAHEDRON = "tetrahedron"
 
 # number of element corners per geometry
-N_CORNERS = {SEGMENT: 2, TRIANGLE: 3, SQUARE: 4, CUBE: 8}
-GEOM_DIM = {SEGMENT: 1, TRIANGLE: 2, SQUARE: 2, CUBE: 3}
+N_CORNERS = {SEGMENT: 2, TRIANGLE: 3, SQUARE: 4, CUBE: 8, TETRAHEDRON: 4}
+GEOM_DIM = {SEGMENT: 1, TRIANGLE: 2, SQUARE: 2, CUBE: 3, TETRAHEDRON: 3}
 
 
 def gauss_legendre_01(n: int) -> tuple[np.ndarray, np.ndarray]:
@@ -127,6 +128,22 @@ def get_rule(geom: str, order: int) -> IntegrationRule:
         Y = (1.0 + B) / 2.0
         W = np.outer(wa, wb) / 8.0
         pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+        return IntegrationRule(geom, pts, W.ravel(), order=order)
+    if geom == TETRAHEDRON:
+        # Collapsed rule on the unit tet {x,y,z >= 0, x+y+z <= 1}:
+        # GL in 'a', Gauss-Jacobi(1,0) in 'b', Gauss-Jacobi(2,0) in 'c';
+        # x = (1+a)(1-b)(1-c)/8, y = (1+b)(1-c)/4, z = (1+c)/2 maps
+        # [-1,1]^3 -> tet with Jacobian (1-b)(1-c)^2/64, absorbed exactly
+        # by the (1-b)/(1-c)^2 Jacobi weights.
+        xa, wa = np.polynomial.legendre.leggauss(n1)
+        xb, wb = gauss_jacobi(n1, 1.0, 0.0)
+        xc, wc = gauss_jacobi(n1, 2.0, 0.0)
+        A, B, C = np.meshgrid(xa, xb, xc, indexing="ij")
+        X = (1.0 + A) * (1.0 - B) * (1.0 - C) / 8.0
+        Y = (1.0 + B) * (1.0 - C) / 4.0
+        Z = (1.0 + C) / 2.0
+        W = np.einsum("i,j,k->ijk", wa, wb, wc) / 64.0
+        pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
         return IntegrationRule(geom, pts, W.ravel(), order=order)
     raise ValueError(f"unknown geometry {geom!r}")
 

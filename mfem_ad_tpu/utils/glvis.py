@@ -32,12 +32,13 @@ import numpy as np
 from ..basis import lobatto_points
 from ..fespace import FESpace
 from ..mesh import Mesh
-from ..quadrature import CUBE, SQUARE, TRIANGLE
+from ..quadrature import CUBE, SQUARE, TETRAHEDRON, TRIANGLE
 from .vtk import _corner_values
 
-_MFEM_GEOM_CODE = {TRIANGLE: 2, SQUARE: 3, CUBE: 5}
+_MFEM_GEOM_CODE = {TRIANGLE: 2, SQUARE: 3, TETRAHEDRON: 4, CUBE: 5}
 # lex corners -> MFEM counter-clockwise ordering
 _MFEM_PERM = {TRIANGLE: [0, 1, 2], SQUARE: [0, 1, 3, 2],
+              TETRAHEDRON: [0, 1, 2, 3],
               CUBE: [0, 1, 3, 2, 4, 5, 7, 6]}
 
 
@@ -52,7 +53,8 @@ def _mfem_l2_nodes(geom: str, p: int) -> np.ndarray:
     """
     if p == 0:
         centers = {SQUARE: [[0.5, 0.5]], CUBE: [[0.5, 0.5, 0.5]],
-                   TRIANGLE: [[1 / 3, 1 / 3]]}
+                   TRIANGLE: [[1 / 3, 1 / 3]],
+                   TETRAHEDRON: [[0.25, 0.25, 0.25]]}
         return np.asarray(centers[geom], dtype=np.float64)
     op = lobatto_points(p)
     if geom == SQUARE:
@@ -64,6 +66,14 @@ def _mfem_l2_nodes(geom: str, p: int) -> np.ndarray:
             for j in range(p + 1)
             for i in range(p + 1)
         ]
+    elif geom == TETRAHEDRON:
+        # warped barycentric-Lobatto lattice (mfem fe_l2.cpp, tet branch)
+        pts = []
+        for k in range(p + 1):
+            for j in range(p + 1 - k):
+                for i in range(p + 1 - k - j):
+                    w = op[i] + op[j] + op[k] + op[p - i - j - k]
+                    pts.append((op[i] / w, op[j] / w, op[k] / w))
     else:  # TRIANGLE
         pts = []
         for j in range(p + 1):

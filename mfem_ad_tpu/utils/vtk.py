@@ -12,11 +12,12 @@ import numpy as np
 
 from ..fespace import FESpace
 from ..mesh import Mesh
-from ..quadrature import CUBE, SQUARE, TRIANGLE
+from ..quadrature import CUBE, SQUARE, TETRAHEDRON, TRIANGLE
 
 # VTK cell types; vertex permutations lex -> VTK ordering
 _VTK_CELL = {TRIANGLE: (5, [0, 1, 2]), SQUARE: (9, [0, 1, 3, 2]),
-             CUBE: (12, [0, 1, 3, 2, 4, 5, 7, 6])}
+             CUBE: (12, [0, 1, 3, 2, 4, 5, 7, 6]),
+             TETRAHEDRON: (10, [0, 1, 2, 3])}
 
 
 def _corner_values(space: FESpace, u: np.ndarray) -> np.ndarray:
@@ -48,6 +49,11 @@ def _corner_ref(geom: str) -> np.ndarray:
                 for i in (0.0, 1.0):
                     pts.append([i, j, k])
         return np.array(pts)
+    if geom == TETRAHEDRON:
+        return np.array(
+            [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+             [0.0, 0.0, 1.0]]
+        )
     raise ValueError(geom)
 
 
