@@ -327,6 +327,146 @@ class HaloShardedForm:
         )(tables, state)
         return jnp.where(ess, 1.0, d)
 
+    # -- distributed Schur-direction support (VERDICT r4 #2) -------------
+    # The production Schur elimination (solvers._schur_solve_traced)
+    # becomes layout-agnostic through these hooks: vectors here are
+    # per-shard slot concatenations [K * slots], so the canonical [:n0]
+    # block slicing is replaced by shard-local slot slicing under
+    # shard_map (zero collectives), and the element-local L2 latent
+    # inverse consumes the ELEMENT-SHARDED De_inv directly.
+    @property
+    def offsets(self):
+        """Canonical block offsets of the underlying form (used by the
+        Schur driver only for block-count validation; halo vectors are
+        NOT sliceable by these)."""
+        return self.form.offsets
+
+    def _slots_u(self) -> int:
+        return int(self._loc_off[len(self.form.spaces) - 1])
+
+    def split_u_p(self, v):
+        """Distributed vector -> (primal superblock, latent block), each
+        in its own distributed layout (shard-local slot slicing)."""
+        su = self._slots_u()
+
+        def local(v_loc):
+            return v_loc[:su], v_loc[su:]
+
+        return shard_map(
+            local, mesh=self.mesh, in_specs=P(self.axis_name),
+            out_specs=(P(self.axis_name), P(self.axis_name)),
+        )(v)
+
+    def join_u_p(self, vu, wp):
+        def local(a, b):
+            return jnp.concatenate([a, b])
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(self.axis_name), P(self.axis_name)),
+            out_specs=P(self.axis_name),
+        )(vu, wp)
+
+    def pad_u(self, vu):
+        sp = self.slots - self._slots_u()
+
+        def local(a):
+            return jnp.concatenate([a, jnp.zeros(sp, a.dtype)])
+
+        return shard_map(
+            local, mesh=self.mesh, in_specs=P(self.axis_name),
+            out_specs=P(self.axis_name),
+        )(vu)
+
+    def pad_p(self, wp):
+        su = self._slots_u()
+
+        def local(b):
+            return jnp.concatenate([jnp.zeros(su, b.dtype), b])
+
+        return shard_map(
+            local, mesh=self.mesh, in_specs=P(self.axis_name),
+            out_specs=P(self.axis_name),
+        )(wp)
+
+    def make_latent_dinv(self, De_inv):
+        """Element-local latent inverse w -> D^-1 w on the distributed
+        latent block (L2 scalar latent: dofs are element-contiguous per
+        shard, so the apply is a shard-local batched matvec against the
+        element-sharded ``De_inv`` — zero collectives)."""
+        lb = len(self.form.spaces) - 1
+        sp_l = self.form.spaces[lb]
+        if sp_l.fe_type != "L2" or sp_l.vdim != 1:
+            raise NotImplementedError(
+                "halo Schur elimination needs a scalar L2 latent block"
+            )
+        ndl = sp_l.nd
+
+        def apply(wp):
+            def local(De_loc, w_loc):
+                we = w_loc.reshape(-1, ndl)
+                ze = jnp.einsum("eij,ej->ei", De_loc, we)
+                return ze.reshape(-1)
+
+            return shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P(self.axis_name), P(self.axis_name)),
+                out_specs=P(self.axis_name),
+            )(De_inv, wp)
+
+        return apply
+
+    def schur_arrays_raw(self, tables, ess, state, reg, jacobi, lumped):
+        """Distributed counterpart of ``solvers._schur_arrays``: the
+        element-block math runs shard-local (the Schur arrays shard
+        exactly like the Newton state), the primal node scatter completes
+        through the halo ppermute inside ``intg.scatter``, and outputs
+        stay in their natural distributed/sharded layouts — no [ndof]
+        collective anywhere (reference flagship: distributed MUMPS over
+        hypre true-dof partitions, tools.hpp:128-154)."""
+        if lumped:
+            raise NotImplementedError(
+                "halo Schur supports the L2-latent (exact elimination) "
+                "path; use ShardedForm for lumped H1 latents"
+            )
+        from ..solvers import _schur_arrays_core
+
+        form = self.form
+        if len(form.spaces) != 2:
+            raise NotImplementedError("halo Schur needs a 2-block form")
+        intg = form.integrators[0]
+        axis = self.axis_name
+        su = self._slots_u()
+        fast0 = self.fast[0]
+
+        def local(tables, ess_loc, state):
+            acc = None
+            for intg_i, t_i, Hq_i, f_i in zip(
+                form.integrators, tables, state, self.fast
+            ):
+                ds = intg_i.diagonal(Hq_i, t_i, fast=f_i)
+                d = jnp.concatenate(ds)
+                acc = d if acc is None else acc + d
+            d_full = jnp.abs(jnp.where(ess_loc, 1.0, acc))
+            return _schur_arrays_core(
+                form, intg, tables[0], ess_loc, state[0], d_full, reg,
+                jacobi, False,
+                psum=lambda x: x,  # halo scatters complete internally
+                pmax=lambda x: jax.lax.pmax(x, axis),
+                globalize=lambda a: a,  # keep element-sharded
+                fast=fast0,
+                usplit=lambda v: v[:su],  # local primal slots
+            )
+
+        keys = ["De_inv"] + (["dshift", "safe"] if jacobi else [])
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(
+                tuple(self.specs), P(self.axis_name), self._state_specs(),
+            ),
+            out_specs={k: P(self.axis_name) for k in keys},
+        )(tables, ess, state)
+
     # -- public jitted wrappers ----------------------------------------
     def energy(self, u, fields=None):
         fn = self._jit("energy", self.energy_raw)

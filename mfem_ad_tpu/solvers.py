@@ -429,7 +429,7 @@ def _schur_solve_traced(form, tables, ess, state, r, tol: float,
     """
     arrays = _schur_arrays(form, tables, ess, state, reg, jacobi, lumped)
     Mextra = _primal_Mx(fp, pdata, arrays)
-    S, M, Dinv, mv, pad_u, pad_p, n0, n1 = _schur_ops(
+    S, M, Dinv, mv, pad_u, pad_p, n0, n1, split = _schur_ops(
         form, tables, ess, state, arrays, lumped, Mextra
     )
 
@@ -453,13 +453,16 @@ def _schur_solve_traced(form, tables, ess, state, r, tol: float,
 
         return minres(mv, r, M=Mblock, tol=tol, maxiter=outer)
 
+    join = (form.join_u_p if hasattr(form, "join_u_p")
+            else lambda a, b: jnp.concatenate([a, b]))
+
     def solve_reg(rr):
-        r_u, r_p = rr[:n0], rr[n0:]
-        rhs = r_u + mv(pad_p(Dinv(r_p)))[:n0]
+        r_u, r_p = split(rr)
+        rhs = r_u + split(mv(pad_p(Dinv(r_p))))[0]
         du = cg(S, rhs, M=M, tol=tol, maxiter=maxiter)
-        Ct_du = mv(pad_u(du))[n0:]
+        Ct_du = split(mv(pad_u(du)))[1]
         dp = Dinv(Ct_du - r_p)
-        return jnp.concatenate([du, dp])
+        return join(du, dp)
 
     dx = solve_reg(r)
     for _ in range(refine):
@@ -486,7 +489,7 @@ def _schur_arrays(form, tables, ess, state, reg: float, jacobi: bool,
 
 def _schur_arrays_core(form, intg, t, ess, Hq, d_full, reg: float,
                        jacobi: bool, lumped: bool, psum=None, pmax=None,
-                       globalize=None, fast: bool = True):
+                       globalize=None, fast: bool = True, usplit=None):
     """The Schur-reduction array math, shared between the serial path and
     the shard-local body of ``ShardedForm.schur_arrays_raw``.  Collective
     hooks (identity in serial): ``psum`` completes global-dof scatters,
@@ -501,6 +504,9 @@ def _schur_arrays_core(form, intg, t, ess, Hq, d_full, reg: float,
     lb = len(off) - 2
     ub = lb - 1
     n0 = int(off[lb])
+    # primal-block slice of a full dof vector: canonical [:n0] by default;
+    # the halo (distributed-layout) body passes its local-slot slicer
+    usplit = usplit or (lambda v: v[:n0])
     out = {}
 
     if lumped:
@@ -533,9 +539,9 @@ def _schur_arrays_core(form, intg, t, ess, Hq, d_full, reg: float,
         # uniformly well-conditioned as the mirror map saturates (D goes
         # rank-deficient along psi; the dual mass term fills the gap).
         sp_u = form.spaces[ub]
-        d_A = d_full[:n0]
+        d_A = usplit(d_full)
         inv_dA = jnp.where(
-            ess[:n0], 0.0, 1.0 / jnp.where(d_A < 1e-30, 1.0, d_A)
+            usplit(ess), 0.0, 1.0 / jnp.where(d_A < 1e-30, 1.0, d_A)
         )
         Ce_ = intg.element_matrices(Hq, ub, lb, tables=t)
         Ce4_ = Ce_.reshape(ne_l, Ce_.shape[1], vl, ndl)
@@ -586,7 +592,7 @@ def _schur_arrays_core(form, intg, t, ess, Hq, d_full, reg: float,
     if jacobi:
         # diag(S) = diag(A) + diag(C D^{-1} C^T); the second term dominates
         # as alpha grows (D ~ E*''/alpha -> 0 on the active set).
-        d = d_full[:n0]
+        d = usplit(d_full)
         Ce = intg.element_matrices(Hq, ub, lb, tables=t)  # [ne, nde_u, ndl]
         ne_c = Ce.shape[0]
         sp_u = form.spaces[ub]
@@ -606,7 +612,7 @@ def _schur_arrays_core(form, intg, t, ess, Hq, d_full, reg: float,
         d = d + dS_nodes
         # the raw reaction diagonal diag(C D^-1 C^T) on the primal block,
         # zeroed at essential dofs — input to the shifted GMG (_primal_Mx)
-        out["dshift"] = jnp.where(ess[:n0], 0.0, dS_nodes)
+        out["dshift"] = jnp.where(usplit(ess), 0.0, dS_nodes)
         out["safe"] = jnp.where(d < 1e-30, 1.0, d)
     return out
 
@@ -619,6 +625,10 @@ def _schur_ops(form, tables, ess, state, arrays, lumped: bool, Mextra):
     off = form.offsets
     lb = len(off) - 2
     n0, n1 = int(off[lb]), int(off[lb + 1] - off[lb])
+    # distributed-layout (halo) forms provide their own block helpers:
+    # vectors are per-shard slot concatenations, so canonical [:n0]
+    # slicing does not apply (parallel/halo.py layout)
+    halo = hasattr(form, "split_u_p")
 
     if lumped:
         Dblk_inv = arrays["Dblk_inv"]
@@ -630,6 +640,9 @@ def _schur_ops(form, tables, ess, state, arrays, lumped: bool, Mextra):
             z = jnp.einsum("nvw,wn->vn", Dblk_inv, w2)
             return z.reshape(-1)
 
+    elif halo:
+        De_inv = arrays["De_inv"]  # element-sharded [ne, ndl, ndl]
+        Dinv = form.make_latent_dinv(De_inv)
     else:
         De_inv = arrays["De_inv"]
         ne, ndl = De_inv.shape[0], De_inv.shape[1]
@@ -639,19 +652,26 @@ def _schur_ops(form, tables, ess, state, arrays, lumped: bool, Mextra):
             ze = jnp.einsum("eij,ej->ei", De_inv, we)
             return ze.reshape(-1)
 
-    def pad_u(v):
-        return jnp.concatenate([v, jnp.zeros(n1, v.dtype)])
+    if halo:
+        pad_u, pad_p = form.pad_u, form.pad_p
+        split = form.split_u_p
+    else:
+        def pad_u(v):
+            return jnp.concatenate([v, jnp.zeros(n1, v.dtype)])
 
-    def pad_p(w):
-        return jnp.concatenate([jnp.zeros(n0, w.dtype), w])
+        def pad_p(w):
+            return jnp.concatenate([jnp.zeros(n0, w.dtype), w])
+
+        def split(w):
+            return w[:n0], w[n0:]
 
     def mv(v):
         return form.grad_mult_raw(tables, ess, state, v)
 
     def S(v):
         Jv = mv(pad_u(v))
-        Av, Ctv = Jv[:n0], Jv[n0:]
-        Cw = mv(pad_p(Dinv(Ctv)))[:n0]
+        Av, Ctv = split(Jv)
+        Cw = split(mv(pad_p(Dinv(Ctv))))[0]
         return Av + Cw
 
     M = None
@@ -670,7 +690,7 @@ def _schur_ops(form, tables, ess, state, arrays, lumped: bool, Mextra):
                 # dominated dofs) + reaction diagonal (active set)
                 M = lambda v: v / safe + mx(v)  # noqa: E731
 
-    return S, M, Dinv, mv, pad_u, pad_p, n0, n1
+    return S, M, Dinv, mv, pad_u, pad_p, n0, n1, split
 
 
 def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
@@ -731,10 +751,11 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
         )
 
     def init_fn(tables, ess, state, arrays, pdata, rr):
-        S, M, Dinv, mv, pad_u, pad_p, n0, _ = _schur_ops(
+        S, M, Dinv, mv, pad_u, pad_p, n0, _, split = _schur_ops(
             form, tables, ess, state, arrays, False, mx_of(pdata, arrays)
         )
-        rhs = rr[:n0] + mv(pad_p(Dinv(rr[n0:])))[:n0]
+        r_u, r_p = split(rr)
+        rhs = r_u + split(mv(pad_p(Dinv(r_p))))[0]
         norm_b = jnp.linalg.norm(rhs)
         bsafe = jnp.where(norm_b == 0, 1.0, norm_b)
         bn = rhs / bsafe
@@ -743,7 +764,7 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
         return carry, bsafe
 
     def chunk_fn(tables, ess, state, arrays, pdata, carry):
-        S, M, _, _, _, _, _, _ = _schur_ops(
+        S, M, _, _, _, _, _, _, _ = _schur_ops(
             form, tables, ess, state, arrays, False, mx_of(pdata, arrays)
         )
         body, cond = _pcg_kernel(S, M if M is not None else (lambda v: v),
@@ -757,12 +778,14 @@ def _schur_dir_chunked(form, opts, fp, x, b, fields, pdata,
         return out[:8] + (jnp.asarray(opts.lin_maxiter, jnp.int32),), status
 
     def fin_fn(tables, ess, state, arrays, pdata, rr, carry, bsafe):
-        _, _, Dinv, mv, pad_u, _, n0, _ = _schur_ops(
+        _, _, Dinv, mv, pad_u, _, n0, _, split = _schur_ops(
             form, tables, ess, state, arrays, False, mx_of(pdata, arrays)
         )
+        join = (form.join_u_p if hasattr(form, "join_u_p")
+                else lambda a, b: jnp.concatenate([a, b]))
         du = carry[0] * bsafe
-        dp = Dinv(mv(pad_u(du))[n0:] - rr[n0:])
-        return jnp.concatenate([du, dp])
+        dp = Dinv(split(mv(pad_u(du)))[1] - split(rr)[1])
+        return join(du, dp)
 
     def defect_fn(tables, ess, state, r, dx):
         return r - form.grad_mult_raw(tables, ess, state, dx)
@@ -1608,7 +1631,7 @@ def _schur_dir_chunked_lumped(form, opts, fp, x, b, fields, pdata,
     tol = float(opts.lin_tol)
 
     def ops_of(tables, ess, state, arrays, pdata):
-        S, M, Dinv, mv, pad_u, pad_p, n0, _ = _schur_ops(
+        S, M, Dinv, mv, pad_u, pad_p, n0, _, _ = _schur_ops(
             form, tables, ess, state, arrays, True,
             _primal_Mx(fp, pdata, arrays),
         )
@@ -1881,7 +1904,11 @@ def newton(form, x0, b=None, fields=None, opts: NewtonOptions | None = None):
                 "lin_solver='schur' needs element-block access "
                 "(BlockNonlinearForm or ShardedForm)"
             )
-        if bool(np.any(np.asarray(form.ess_mask)[int(off[1]):])):
+        # validate on the CANONICAL mask (sharded/halo wrappers carry the
+        # serial form at .form; the halo ess_mask is in distributed
+        # layout where off[] does not apply)
+        base = getattr(form, "form", form)
+        if bool(np.any(np.asarray(base.ess_mask)[int(off[1]):])):
             raise ValueError(
                 "lin_solver='schur' requires no essential dofs on the "
                 "latent block"

@@ -105,20 +105,127 @@ def _mesh_ascii(mesh: Mesh) -> str:
     return "\n".join(lines) + "\n"
 
 
+_MFEM_LOCAL_EDGES = {
+    # MFEM Geometry::Constants Edges[][] in MFEM-local vertex numbering
+    TRIANGLE: [(0, 1), (1, 2), (2, 0)],
+    SQUARE: [(0, 1), (1, 2), (3, 2), (0, 3)],
+}
+_MFEM_REF_VERTS = {
+    TRIANGLE: np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]),
+    SQUARE: np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]),
+}
+
+
+def _h1_conforming_layout(mesh: Mesh, p: int):
+    """MFEM's conforming H1 global dof layout for the mesh AS SERIALIZED
+    by ``_mesh_ascii`` (reference logger.cpp:113-259 sends conforming
+    grid functions; GLVis reconstructs the space from the mesh, so the
+    edge enumeration must match MFEM's: edges numbered by FIRST
+    APPEARANCE iterating elements in order and local edges in
+    Geometry::Constants order, oriented min->max vertex id; global dofs
+    = [vertices][edge interiors][element interiors]).
+
+    Returns (n_glob, elem_gids [ne, nj], ref_nodes [nj, 2]): the global
+    id and MFEM reference coordinate of every MFEM-local H1 dof, with
+    edge-dof reversal applied where the element's local edge direction
+    opposes the global one."""
+    geom = mesh.geom
+    ledges = _MFEM_LOCAL_EDGES[geom]
+    refv = _MFEM_REF_VERTS[geom]
+    # our lex corners -> the MFEM CCW order _mesh_ascii emits
+    mverts = mesh.elements[:, _MFEM_PERM[geom]].astype(np.int64)
+    ne = mverts.shape[0]
+    nv = mesh.num_vertices
+    op = lobatto_points(p)
+
+    edge_index: dict = {}
+    for e in range(ne):
+        for a, b in ledges:
+            key = (min(mverts[e, a], mverts[e, b]),
+                   max(mverts[e, a], mverts[e, b]))
+            if key not in edge_index:
+                edge_index[key] = len(edge_index)
+    n_edges = len(edge_index)
+    npe = p - 1
+
+    # MFEM-local reference nodes + interior count (MFEM fe.cpp order)
+    nodes = [refv[i] for i in range(len(refv))]
+    for a, b in ledges:
+        for k in range(1, p):
+            nodes.append((1 - op[k]) * refv[a] + op[k] * refv[b])
+    interior = []
+    if geom == SQUARE:
+        for j in range(1, p):
+            for i in range(1, p):
+                interior.append((op[i], op[j]))
+    else:
+        # warped barycentric-Lobatto interior lattice (H1_TriangleElement)
+        for j in range(1, p):
+            for i in range(1, p - j):
+                w = op[i] + op[j] + op[p - i - j]
+                interior.append((op[i] / w, op[j] / w))
+    nodes += [np.asarray(q) for q in interior]
+    n_int = len(interior)
+    ref_nodes = np.asarray(nodes, dtype=np.float64)
+
+    off_int = nv + n_edges * npe
+    n_glob = off_int + ne * n_int
+    gids = np.empty((ne, ref_nodes.shape[0]), dtype=np.int64)
+    gids[:, : len(refv)] = mverts
+    col = len(refv)
+    for a, b in ledges:
+        va, vb = mverts[:, a], mverts[:, b]
+        eid = np.array(
+            [edge_index[(min(x, y), max(x, y))] for x, y in zip(va, vb)],
+            dtype=np.int64,
+        )
+        for k in range(npe):
+            kk = np.where(va < vb, k, npe - 1 - k)
+            gids[:, col + k] = nv + eid * npe + kk
+        col += npe
+    for k in range(n_int):
+        gids[:, col + k] = off_int + np.arange(ne) * n_int + k
+    return n_glob, gids, ref_nodes
+
+
+def _h1_conforming_values(space: FESpace, u: np.ndarray):
+    """Global conforming-H1 dof values [n_glob, vdim] by evaluating the
+    field's element polynomials at MFEM's H1 node locations (exact)."""
+    mesh = space.mesh
+    p = space.order
+    n_glob, gids, ref_nodes = _h1_conforming_layout(mesh, p)
+    # MFEM ref coords == this framework's ref coords (same unit domains),
+    # but our corner ordering is lex: basis evaluation needs our frame,
+    # which is identical — only the corner NUMBERING differs, already
+    # handled through _MFEM_PERM in gids.
+    phi = space.elem.eval(ref_nodes)  # [nj, nd]
+    us = np.asarray(u).reshape(space.vdim, space.ndof_scalar)
+    ue = us[:, space.edof]  # [vdim, ne, nd]
+    ev = np.einsum("jd,ved->evj", phi, ue)  # [ne, vdim, nj]
+    vals = np.zeros((n_glob, space.vdim))
+    vals[gids] = ev.transpose(0, 2, 1)  # conforming: shared dofs agree
+    return vals
+
+
 def _gridfunction_ascii(space: FESpace, u: np.ndarray) -> str:
     """MFEM ASCII grid function at the field's NATIVE order.
 
-    p = 1: conforming H1 P1 vertex values.  p >= 2 (or L2 input spaces):
-    the order-p L2 Gauss-Lobatto encoding — per-element values at MFEM's
-    ``L2_T1`` node lattice in element emission order, computed by
-    evaluating this framework's element basis at those reference points
-    (exact: both are degree-p polynomial spaces on the element)."""
+    p = 1: conforming H1 P1 vertex values.  p >= 2 H1 on 2D meshes: the
+    CONFORMING order-p H1 encoding with MFEM's global dof numbering
+    (matches the reference's stream exactly, logger.cpp:113-259).  L2
+    spaces and 3D p >= 2: the order-p L2 Gauss-Lobatto encoding —
+    per-element values at MFEM's ``L2_T1`` node lattice, exact but
+    discontinuously encoded (renders identically)."""
     u = np.asarray(u)
     p = space.order
     dim = space.mesh.dim
     if p <= 1 and space.fe_type == "H1":
         fec = f"H1_{dim}D_P1"
         vals = _corner_values(space, u)  # [nv, vdim]
+    elif (space.fe_type == "H1" and dim == 2
+          and space.mesh.geom in _MFEM_LOCAL_EDGES):
+        fec = f"H1_{dim}D_P{p}"
+        vals = _h1_conforming_values(space, u)
     else:
         fec = f"L2_T1_{dim}D_P{p}"
         phi = space.elem.eval(_mfem_l2_nodes(space.mesh.geom, p))  # [nj, nd]

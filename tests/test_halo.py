@@ -175,3 +175,81 @@ def test_halo_triangle_mesh(eight_devices):
     y_serial = np.asarray(pb.form.grad_mult(st_s, jnp.asarray(v)))
     y_halo = hf.from_dist(np.asarray(hf.grad_mult(st_h, hf.dist_array(v))))
     assert np.allclose(y_halo, y_serial, atol=1e-12)
+
+
+def test_halo_schur_direction_matches_serial(eight_devices):
+    """The PRODUCTION Schur Newton direction (exact L2-latent elimination
+    + Jacobi-CG on the condensed system) through HaloShardedForm matches
+    the serial direction to machine precision (VERDICT r4 #2; reference
+    flagship: distributed MUMPS, tools.hpp:128-154)."""
+    from mfem_ad_tpu.models import obstacle
+    from mfem_ad_tpu.solvers import _schur_solve_traced
+
+    pb = obstacle.build(order=1, ref_levels=0, n0=16)
+    form = pb.form
+    hf = HaloShardedForm(form)
+    rng = np.random.default_rng(0)
+    x_c = jnp.asarray(0.1 * rng.standard_normal(form.ndof))
+    lk = jnp.zeros(pb.latent_space.ndof)
+    fields = {"alpha": jnp.asarray(1.0), "latent_k0": lk}
+
+    r_s = form.mult(x_c, fields) - pb.rhs
+    r_s = jnp.where(form.ess_mask, 0.0, r_s)
+    st_s = form.grad_state(x_c, fields)
+    dx_s = jax.jit(
+        lambda t, e, s, r: _schur_solve_traced(form, t, e, s, r, 1e-12, 400)
+    )(form._tables(), form.ess_mask, st_s, r_s)
+
+    @jax.jit
+    def halo_dir(tables, ess, x, b, latent_k):
+        f2 = {"alpha": jnp.asarray(1.0), "latent_k0": latent_k}
+        r = hf.mult_raw(tables, ess, x, f2) - b
+        r = jnp.where(ess, 0.0, r)
+        st = hf.grad_state_raw(tables, x, f2)
+        return _schur_solve_traced(hf, tables, ess, st, r, 1e-12, 400)
+
+    dx_d = halo_dir(hf._tables(), hf.ess_mask, hf.dist_array(np.asarray(x_c)),
+                    hf.dist_array(np.asarray(pb.rhs)), lk)
+    dx_c = hf.from_dist(np.asarray(dx_d))
+    scale = max(1.0, np.abs(np.asarray(dx_s)).max())
+    assert np.abs(dx_c - np.asarray(dx_s)).max() / scale < 1e-10
+
+    # the whole production direction program must exchange data between
+    # shards only via collective-permute + scalar reductions — never a
+    # dof-sized all-reduce (extends the matvec HLO lock to the full
+    # Schur Newton step)
+    hlo = halo_dir.lower(
+        hf._tables(), hf.ess_mask, hf.dist_array(np.asarray(x_c)),
+        hf.dist_array(np.asarray(pb.rhs)), lk,
+    ).compile().as_text()
+    assert "collective-permute" in hlo
+    import re
+
+    for line in hlo.splitlines():
+        m = re.search(r"= f64\[([\d,]*)\][^=]* all-reduce(?:-start)?\(",
+                      line)
+        if m:  # a DEFINED all-reduce: must be scalar-sized
+            dims = m.group(1)
+            assert dims in ("", "1"), line
+
+
+def test_halo_schur_full_lvpp_solve(eight_devices):
+    """A full LVPP outer iteration's inner Newton (lin_solver='schur')
+    runs end-to-end on the halo form and matches the serial solve."""
+    from mfem_ad_tpu.models import obstacle
+    from mfem_ad_tpu.solvers import NewtonOptions, newton
+
+    pb = obstacle.build(order=1, ref_levels=0, n0=16)
+    hf = HaloShardedForm(pb.form)
+    lk = jnp.zeros(pb.latent_space.ndof)
+    fields = {"alpha": jnp.asarray(0.5), "latent_k0": lk}
+    opts = NewtonOptions(abs_tol=1e-10, max_iter=20, lin_solver="schur",
+                         lin_tol=1e-12, lin_maxiter=400)
+    res_h = newton(hf, hf.dist_array(np.zeros(pb.form.ndof)),
+                   b=hf.dist_array(np.asarray(pb.rhs)), fields=fields,
+                   opts=opts)
+    res_s = newton(pb.form, jnp.zeros(pb.form.ndof), b=pb.rhs,
+                   fields=fields, opts=opts)
+    assert res_h.converged and res_s.converged
+    x_h = hf.from_dist(np.asarray(res_h.x))
+    assert np.allclose(x_h, np.asarray(res_s.x), atol=1e-8)

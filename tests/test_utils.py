@@ -65,14 +65,14 @@ def test_glvis_noop_without_server():
 
 
 def test_glvis_full_order_loopback():
-    """Protocol test against a loopback socket server (VERDICT r3 #8): a
-    p=2 field streams as an order-2 L2_T1 grid function whose per-element
-    values are the EXACT field at MFEM's Lobatto lattice — full visual
-    order parity, not an order-1 downsample."""
+    """Protocol test against a loopback socket server (VERDICT r3 #8 +
+    r4 #7): a p=2 H1 field on a 2D mesh streams as a CONFORMING H1_2D_P2
+    grid function in MFEM's global dof numbering, with values exact at
+    every MFEM node location."""
     import socket
     import threading
 
-    from mfem_ad_tpu.utils.glvis import GLVis, _mfem_l2_nodes
+    from mfem_ad_tpu.utils.glvis import GLVis, _h1_conforming_layout
 
     m = M.make_cartesian_2d(3, 3)
     fes = FESpace(m, 2)
@@ -111,28 +111,69 @@ def test_glvis_full_order_loopback():
 
     assert msg.startswith("solution\n")
     assert "MFEM mesh v1.0" in msg
-    assert "FiniteElementCollection: L2_T1_2D_P2" in msg
+    assert "FiniteElementCollection: H1_2D_P2" in msg
     assert "window_title 'u'" in msg
 
-    # parse the grid function values: ne * (p+1)^2 rows after the header
+    # conforming layout: [vertices][edge interiors][element interiors]
+    p = 2
+    n_glob, gids, ref_nodes = _h1_conforming_layout(m, p)
+    n_edges = (
+        n_glob - m.num_vertices - m.num_elements * (p - 1) ** 2
+    ) // (p - 1)
+    assert n_glob == m.num_vertices + n_edges * (p - 1) \
+        + m.num_elements * (p - 1) ** 2
+
     body = msg.split("Ordering: 1\n\n", 1)[1]
     rows = body.split("window_title")[0].strip().splitlines()
-    nj = 9  # (2+1)^2 Lobatto lattice points
-    assert len(rows) == m.num_elements * nj
+    assert len(rows) == n_glob
     vals = np.array([float(r) for r in rows])
 
-    # exact-field check at every streamed lattice point of every element
-    nodes = _mfem_l2_nodes(m.geom, 2)  # [nj, 2]
+    # exact-field check at every global dof position: map each element's
+    # MFEM reference nodes through the bilinear geometry and compare
     verts = m.vertices[m.elements]  # [ne, 4, dim] lex corners
-    # bilinear map of the lex-corner quad: x(s, t)
-    s, tt = nodes[:, 0], nodes[:, 1]
+    s, tt = ref_nodes[:, 0], ref_nodes[:, 1]
     shp = np.stack(
         [(1 - s) * (1 - tt), s * (1 - tt), (1 - s) * tt, s * tt], axis=1
     )  # [nj, 4]
     xy = np.einsum("jc,ecd->ejd", shp, verts)  # [ne, nj, dim]
     exact = xy[..., 0] ** 2 + 0.5 * xy[..., 1]
-    assert np.allclose(vals.reshape(m.num_elements, nj), exact, atol=1e-12)
+    assert np.allclose(vals[gids], exact, atol=1e-12)
     srv.close()
+
+
+def test_glvis_conforming_triangle_and_l2_fallback():
+    """The conforming stream also covers structured-triangle meshes (the
+    ex5 mesh family), and L2 spaces keep the exact per-element L2_T1
+    encoding."""
+    from mfem_ad_tpu.fespace import L2
+    from mfem_ad_tpu.quadrature import TRIANGLE
+    from mfem_ad_tpu.utils.glvis import (
+        _gridfunction_ascii,
+        _h1_conforming_layout,
+    )
+
+    m = M.make_cartesian_2d(2, 2, TRIANGLE)
+    fes = FESpace(m, 3)
+    u = fes.project(lambda x: x[0] ** 3 - x[1] * x[0])  # exact at p=3
+    txt = _gridfunction_ascii(fes, u)
+    assert "FiniteElementCollection: H1_2D_P3" in txt
+    n_glob, gids, ref_nodes = _h1_conforming_layout(m, 3)
+    rows = txt.split("Ordering: 1\n\n", 1)[1].strip().splitlines()
+    assert len(rows) == n_glob
+    vals = np.array([float(r) for r in rows])
+    # map reference nodes through the affine triangle geometry
+    verts = m.vertices[m.elements]  # [ne, 3, dim]
+    s, tt = ref_nodes[:, 0], ref_nodes[:, 1]
+    shp = np.stack([1 - s - tt, s, tt], axis=1)
+    xy = np.einsum("jc,ecd->ejd", shp, verts)
+    exact = xy[..., 0] ** 3 - xy[..., 1] * xy[..., 0]
+    assert np.allclose(vals[gids], exact, atol=1e-12)
+
+    # L2 fallback unchanged
+    l2 = FESpace(m, 1, L2)
+    ul = l2.project(lambda x: x[0])
+    txt2 = _gridfunction_ascii(l2, ul)
+    assert "FiniteElementCollection: L2_T1_2D_P1" in txt2
 
 
 def test_mesh_ascii_roundtrip(tmp_path):
