@@ -228,6 +228,20 @@ class ADFunction:
         f = lambda y: self.energy(y, p)  # noqa: E731
         return f(x), jax.grad(f)(x), jax.jacfwd(jax.grad(f))(x)
 
+    # -- optional analytic derivative overrides ---------------------------
+    # A subclass MAY implement ``gradient_closed(x, p) -> [n]`` and/or
+    # ``hessian_closed(x, p) -> [n, n]`` (symmetric) as hand-derived
+    # closed forms of the SAME energy.  The integrator uses them for the
+    # batched assembly hot loop when present (the per-qp AD Hessian is
+    # VPU-bound; the built-in energies' closed forms cut its FLOPs ~5-10x
+    # — cf. the reference's nested-dual hot loop ad_intg.hpp:260-334).
+    # They are golden-tested against the AD derivatives of ``energy`` and
+    # can be disabled globally with MFEM_AD_TPU_CLOSED=0 — user-defined
+    # energies never need them (AD is the default path, the library's
+    # contract: "never hand-code a bilinear form again").
+    gradient_closed = None
+    hessian_closed = None
+
 
 class ADVectorFunction:
     """Vector point-function F: R^n -> R^m (reference ad_native.hpp:198-265).
@@ -277,6 +291,12 @@ class MassEnergy(ADFunction):
     def energy(self, x, p):
         return 0.5 * sum(x[k] * x[k] for k in range(self.n_input))
 
+    def gradient_closed(self, x, p):
+        return x
+
+    def hessian_closed(self, x, p):
+        return jnp.eye(self.n_input, dtype=x.dtype)
+
 
 class DiffusionEnergy(ADFunction):
     """0.5 grad^T K grad with scalar/vector/matrix K (ad_native.hpp:421-481).
@@ -309,6 +329,44 @@ class DiffusionEnergy(ADFunction):
         return 0.5 * sum(
             g[i] * K[i * d + j] * g[j] for i in range(d) for j in range(d)
         )
+
+    def gradient_closed(self, g, p):
+        d = self.dim
+        K = p.get("K")
+        if K is None:
+            return g
+        if K.shape[-1] == 1:
+            return K[0] * g
+        if K.shape[-1] == d:
+            return jnp.stack([K[k] * g[k] for k in range(d)])
+        Ks = [
+            0.5 * (K[i * d + j] + K[j * d + i])
+            for i in range(d) for j in range(d)
+        ]
+        return jnp.stack(
+            [sum(Ks[i * d + j] * g[j] for j in range(d)) for i in range(d)]
+        )
+
+    def hessian_closed(self, g, p):
+        d = self.dim
+        K = p.get("K")
+        eye = jnp.eye(d, dtype=g.dtype)
+        if K is None:
+            return eye
+        if K.shape[-1] == 1:
+            return K[0] * eye
+        if K.shape[-1] == d:
+            return jnp.stack(
+                [
+                    jnp.stack(
+                        [K[i] if i == j else jnp.zeros_like(K[0])
+                         for j in range(d)]
+                    )
+                    for i in range(d)
+                ]
+            )
+        Km = K.reshape(d, d)
+        return 0.5 * (Km + Km.T)
 
 
 class DiffEnergy(ADFunction):
@@ -348,6 +406,38 @@ class LinearElasticityEnergy(ADFunction):
                 symsq = symsq + s * s
         return 0.5 * p["lambda"][0] * div * div + p["mu"][0] * symsq
 
+    def gradient_closed(self, gradu, p):
+        d = self.dim
+        lam, mu = p["lambda"][0], p["mu"][0]
+        div = sum(gradu[i * d + i] for i in range(d))
+        return jnp.stack(
+            [
+                mu * (gradu[i * d + j] + gradu[j * d + i])
+                + (lam * div if i == j else 0.0)
+                for i in range(d) for j in range(d)
+            ]
+        )
+
+    def hessian_closed(self, gradu, p):
+        # H_{(ij),(kl)} = lam d_ij d_kl + mu (d_ik d_jl + d_il d_jk):
+        # state-independent (the energy is quadratic)
+        d = self.dim
+        lam, mu = p["lambda"][0], p["mu"][0]
+        n = d * d
+        rows = []
+        for a in range(n):
+            i, j = divmod(a, d)
+            row = []
+            for b in range(n):
+                k, l_ = divmod(b, d)
+                h = (
+                    lam * (i == j) * (k == l_)
+                    + mu * ((i == k) * (j == l_) + (i == l_) * (j == k))
+                )
+                row.append(h * jnp.ones_like(lam))
+            rows.append(jnp.stack(row))
+        return jnp.stack(rows)
+
 
 class NeoHookeanEnergy(ADFunction):
     """Compressible neo-Hookean hyperelasticity
@@ -379,6 +469,78 @@ class NeoHookeanEnergy(ADFunction):
         I1 = sum(c * c for c in Fc)
         logJ = _CORES[d][0](*Fc)
         return 0.5 * mu * (I1 - d) - mu * logJ + 0.5 * lam * logJ * logJ
+
+    def _inv_logj(self, gradu):
+        """Flat row-major F, its closed-form inverse, and log det F."""
+        d = self.dim
+        Fc = [
+            gradu[k] + (1.0 if k % (d + 1) == 0 else 0.0)
+            for k in range(d * d)
+        ]
+        if d == 2:
+            det = Fc[0] * Fc[3] - Fc[1] * Fc[2]
+            r = 1.0 / det
+            inv = [Fc[3] * r, -Fc[1] * r, -Fc[2] * r, Fc[0] * r]
+        elif d == 3:
+            c00 = Fc[4] * Fc[8] - Fc[5] * Fc[7]
+            c01 = Fc[5] * Fc[6] - Fc[3] * Fc[8]
+            c02 = Fc[3] * Fc[7] - Fc[4] * Fc[6]
+            det = Fc[0] * c00 + Fc[1] * c01 + Fc[2] * c02
+            r = 1.0 / det
+            inv = [
+                c00 * r,
+                (Fc[2] * Fc[7] - Fc[1] * Fc[8]) * r,
+                (Fc[1] * Fc[5] - Fc[2] * Fc[4]) * r,
+                c01 * r,
+                (Fc[0] * Fc[8] - Fc[2] * Fc[6]) * r,
+                (Fc[2] * Fc[3] - Fc[0] * Fc[5]) * r,
+                c02 * r,
+                (Fc[1] * Fc[6] - Fc[0] * Fc[7]) * r,
+                (Fc[0] * Fc[4] - Fc[1] * Fc[3]) * r,
+            ]
+        else:  # d == 1
+            det = Fc[0]
+            inv = [1.0 / Fc[0]]
+        return Fc, inv, jnp.log(det)
+
+    def gradient_closed(self, gradu, p):
+        # dW/dF = mu F + (lam logJ - mu) F^{-T}
+        d = self.dim
+        lam, mu = p["lambda"][0], p["mu"][0]
+        Fc, inv, logJ = self._inv_logj(gradu)
+        c = lam * logJ - mu
+        return jnp.stack(
+            [
+                mu * Fc[i * d + j] + c * inv[j * d + i]
+                for i in range(d) for j in range(d)
+            ]
+        )
+
+    def hessian_closed(self, gradu, p):
+        # H_{(ij),(kl)} = mu d_ik d_jl + lam Ft_ij Ft_kl
+        #                 + (mu - lam logJ) Finv_jk Finv_li,
+        # Ft = F^{-T}: the standard compressible neo-Hookean tangent
+        # (dF^{-1}_ab/dF_kl = -F^{-1}_ak F^{-1}_lb, dlogJ/dF = F^{-T}).
+        d = self.dim
+        lam, mu = p["lambda"][0], p["mu"][0]
+        _, inv, logJ = self._inv_logj(gradu)
+        c2 = mu - lam * logJ
+        n = d * d
+        rows = []
+        for a in range(n):
+            i, j = divmod(a, d)
+            row = []
+            for b in range(n):
+                k, l_ = divmod(b, d)
+                h = (
+                    lam * inv[j * d + i] * inv[l_ * d + k]
+                    + c2 * inv[j * d + k] * inv[l_ * d + i]
+                )
+                if a == b:
+                    h = h + mu
+                row.append(h)
+            rows.append(jnp.stack(row))
+        return jnp.stack(rows)
 
 
 class Lagrangian(ADFunction):

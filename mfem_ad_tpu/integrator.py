@@ -170,6 +170,21 @@ def sym_state_default() -> bool:
     return os.environ.get("MFEM_AD_TPU_SYM_STATE", "1") != "0"
 
 
+def _closed_enabled() -> bool:
+    """Policy: use analytic gradient/Hessian overrides of built-in
+    energies when defined.  DEFAULT OFF — measured on the v5e (round 5,
+    tools/probe_closed2.py + bench.py A/B): the closed neo-Hookean
+    Hessian is 2.3-4.2x faster STANDALONE (it cuts the VPU FLOPs ~5-10x)
+    but the full assembly pass REGRESSES to 0.43x (1.77e8 -> 0.77e8
+    elem/s at the headline config) because XLA's layout assignment for
+    the jacfwd producer composes with the A = H @ W GEMM far better than
+    any hand-built H stack (the jnp.stack planes force a relayout of the
+    whole 151 MB intermediate).  The jacfwd(gradient_closed) hybrid and
+    the SoA plane form lose too (0.76x/0.63x).  MFEM_AD_TPU_CLOSED=1
+    opts in (useful off-TPU or for future XLA versions)."""
+    return os.environ.get("MFEM_AD_TPU_CLOSED", "0") == "1"
+
+
 def _dedup_elements(arr: np.ndarray) -> np.ndarray:
     """Collapse the element axis to 1 when every element is identical.
 
@@ -1117,7 +1132,12 @@ class ADBlockIntegrator:
         t = tables or self.tables
         x = self.x_qp(ublocks, t, fast)
         p = self.eval_params(fields or {}, t, fast)
-        pt = self.f.function if self.vector_fn else jax.grad(self.f.energy)
+        if self.vector_fn:
+            pt = self.f.function
+        elif callable(self.f.gradient_closed) and _closed_enabled():
+            pt = self.f.gradient_closed
+        else:
+            pt = jax.grad(self.f.energy)
         g = qpmap(pt)(x, p) * t["w"][..., None]
         return [
             self.scatter(s, self._re_from_g(g, s, t), t, fast)
@@ -1159,7 +1179,13 @@ class ADBlockIntegrator:
             # symmetric in general, so never packed
             H = qpmap(jax.jacfwd(self.f.function))(x, p)
             return H * t["w"][..., None, None]
-        H = qpmap(jax.jacfwd(jax.grad(self.f.energy)))(x, p)
+        if callable(self.f.hessian_closed) and _closed_enabled():
+            # analytic Hessian of a built-in energy (golden-tested vs the
+            # AD form): the AD stage is VPU-bound, so the ~5-10x FLOP cut
+            # is a direct assembly-throughput win (VERDICT r4 #1)
+            H = qpmap(self.f.hessian_closed)(x, p)
+        else:
+            H = qpmap(jax.jacfwd(jax.grad(self.f.energy)))(x, p)
         if not sym:
             return H * t["w"][..., None, None]
         n = self.n_input

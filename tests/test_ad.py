@@ -207,3 +207,80 @@ class TestLogdet:
             F = np.eye(d) + 0.3 * rng.standard_normal((d, d))
             got = np.asarray(inv_t(jnp.asarray(F)))
             np.testing.assert_allclose(got, np.linalg.inv(F).T, atol=1e-12)
+
+
+def test_closed_form_derivatives_match_ad():
+    """Analytic gradient/Hessian overrides of the built-in energies must
+    equal the AD derivatives of the same ``energy`` body (the integrator
+    swaps them into the assembly hot loop; MFEM_AD_TPU_CLOSED=0 gates)."""
+    import jax
+    import numpy as np
+
+    from mfem_ad_tpu.ad import (
+        DiffusionEnergy,
+        LinearElasticityEnergy,
+        MassEnergy,
+        NeoHookeanEnergy,
+    )
+
+    rng = np.random.default_rng(42)
+    cases = []
+    for d in (2, 3):
+        x = jnp.asarray(0.1 * rng.standard_normal(d * d))
+        pr = {"lambda": jnp.asarray([1.3]), "mu": jnp.asarray([0.7])}
+        cases.append((NeoHookeanEnergy(d, 1.3, 0.7), x, pr))
+        cases.append((LinearElasticityEnergy(d, 1.3, 0.7), x, pr))
+        g = jnp.asarray(rng.standard_normal(d))
+        cases.append((DiffusionEnergy(d), g, {}))
+        cases.append((DiffusionEnergy(d, 2.5), g,
+                      {"K": jnp.asarray([2.5])}))
+        cases.append((DiffusionEnergy(d, np.arange(1.0, d + 1)), g,
+                      {"K": jnp.arange(1.0, d + 1)}))
+        Km = np.eye(d) + 0.1 * rng.standard_normal((d, d))
+        cases.append((DiffusionEnergy(d, Km.ravel()), g,
+                      {"K": jnp.asarray(Km.ravel())}))
+        cases.append((MassEnergy(d), g, {}))
+    for f, x, pr in cases:
+        g_ad = jax.grad(lambda y: f.energy(y, pr))(x)
+        h_ad = jax.jacfwd(jax.grad(lambda y: f.energy(y, pr)))(x)
+        g_cl = f.gradient_closed(x, pr)
+        h_cl = f.hessian_closed(x, pr)
+        name = type(f).__name__
+        assert np.allclose(np.asarray(g_ad), np.asarray(g_cl),
+                           atol=1e-12), name
+        assert np.allclose(np.asarray(h_ad), np.asarray(h_cl),
+                           atol=1e-12), name
+        assert np.allclose(np.asarray(h_cl), np.asarray(h_cl).T,
+                           atol=1e-13), name  # symmetric
+
+
+def test_closed_form_assembly_matches_ad_route(monkeypatch):
+    """Full assembly products (residual / element matrices / diagonal)
+    through the closed-form route == the pure-AD route."""
+    import numpy as np
+
+    from mfem_ad_tpu import mesh as M
+    from mfem_ad_tpu.ad import NeoHookeanEnergy
+    from mfem_ad_tpu.adeval import ADEval
+    from mfem_ad_tpu.fespace import FESpace
+    from mfem_ad_tpu.integrator import ADBlockIntegrator
+
+    m = M.make_cartesian_3d(2, 2, 2)
+    sp = FESpace(m, 1, vdim=3)
+    intg = ADBlockIntegrator(
+        NeoHookeanEnergy(3, 1.0, 0.8), [sp], [ADEval.GRAD | ADEval.VECTOR]
+    )
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(0.02 * rng.standard_normal(sp.ndof))
+
+    monkeypatch.setenv("MFEM_AD_TPU_CLOSED", "1")
+    r1 = [np.asarray(r) for r in intg.residual([u])]
+    H1 = intg.hess_state([u])
+    A1 = np.asarray(intg.element_matrices(H1, 0, 0))
+    monkeypatch.setenv("MFEM_AD_TPU_CLOSED", "0")
+    r0 = [np.asarray(r) for r in intg.residual([u])]
+    H0 = intg.hess_state([u])
+    A0 = np.asarray(intg.element_matrices(H0, 0, 0))
+    for a, b in zip(r1, r0):
+        assert np.allclose(a, b, atol=1e-11)
+    assert np.allclose(A1, A0, atol=1e-10)
