@@ -103,9 +103,9 @@ def _build_unstructured(order: int = 1, refs: int = 8):
     from mfem_ad_tpu.fespace import FESpace
     from mfem_ad_tpu.integrator import ADBlockIntegrator
 
-    m = M.read_mfem_mesh(
+    m = M.spatial_sort(M.read_mfem_mesh(
         "/root/reference/data/sloped_rectangle.mesh"
-    ).uniform_refine(refs)
+    ).uniform_refine(refs))
     assert m.structured is None
     fes = FESpace(m, order, vdim=2)
     intg = ADBlockIntegrator(

@@ -177,6 +177,12 @@ def _tri_face_index(b1, b2, p):
     return off + b1 - 1
 
 
+def _reorder_enabled() -> bool:
+    import os
+
+    return os.environ.get("MFEM_AD_TPU_REORDER", "1") != "0"
+
+
 def _edge_params(geom: str, p: int) -> np.ndarray:
     """Parameter t_k (k=0..p) along an edge for interior edge nodes."""
     if geom in (SQUARE, CUBE):
@@ -562,6 +568,24 @@ class FESpace:
                 self.grid = (
                     "h1t" if geom == TRIANGLE else "h1", dims, ndims
                 )
+        elif _reorder_enabled():
+            # UNSTRUCTURED meshes: first-touch dof relabeling — dof ids
+            # follow element scan order, so the edof gather reads
+            # near-contiguous windows and the valence-transpose scatter
+            # (integrator._edof_inverse) emits near-sequential slots.
+            # Pair with mesh.spatial_sort (Morton element order) for the
+            # full locality win; MFEM_AD_TPU_REORDER=0 disables for A/B.
+            flat = self.edof.astype(np.int64).ravel()
+            _, first = np.unique(flat, return_index=True)
+            new = np.empty(self.ndof_scalar, dtype=np.int64)
+            new[np.argsort(first, kind="stable")] = np.arange(
+                self.ndof_scalar
+            )
+            self.edof = new[self.edof.astype(np.int64)].astype(np.int32)
+            nc = np.empty_like(self.node_coords)
+            nc[new] = self.node_coords
+            self.node_coords = nc
+            self._relabel = new
 
     # ------------------------------------------------------------------
     def boundary_dofs(self, attr_mask=None) -> np.ndarray:
