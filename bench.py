@@ -122,6 +122,33 @@ def _build_unstructured(order: int = 1, refs: int = 8):
     return m, fes, intg, u
 
 
+def _build_tet(order: int = 1, n: int = 16):
+    """Tetrahedral 3D config (VERDICT r4 #3): Kuhn-split Cartesian tet
+    mesh, vdim=3 neo-Hookean, the affine reference-basis pullback route
+    (tets are affine)."""
+    from mfem_ad_tpu import mesh as M
+    from mfem_ad_tpu.ad import NeoHookeanEnergy
+    from mfem_ad_tpu.adeval import ADEval
+    from mfem_ad_tpu.fespace import FESpace
+    from mfem_ad_tpu.integrator import ADBlockIntegrator
+    from mfem_ad_tpu.quadrature import TETRAHEDRON
+
+    m = M.make_cartesian_3d(n, n, n, geom=TETRAHEDRON)
+    fes = FESpace(m, order, vdim=3)
+    intg = ADBlockIntegrator(
+        NeoHookeanEnergy(3, 1.0, 1.0),
+        [fes],
+        [ADEval.GRAD | ADEval.VECTOR],
+        dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(
+        (0.1 / (n * order)) * rng.standard_normal(fes.ndof),
+        dtype=jnp.float32,
+    )
+    return m, fes, intg, u
+
+
 def _loop_jacobian(intg, reps: int, fused):
     """fused: None = auto-route (element_jacobians), False = force the
     XLA path, True = force the Pallas kernel."""
@@ -312,6 +339,21 @@ def sweep():
     print(
         f"| p=1 unstructured | 2D | {ne:>7} | {res:.3e} | {jac:.3e} "
         f"| {100 * mfu:.1f}% |",
+        file=sys.stderr,
+        flush=True,
+    )
+    # unstructured-3D row: Kuhn tet mesh, vdim=3 neo-Hookean through the
+    # affine pullback (tets are affine; VERDICT r4 #3)
+    m, fes, intg, u = _build_tet(order=1, n=16)
+    ne = m.num_elements
+    r1 = max(20, min(220, int(2e8 / (ne * intg.nq))))
+    r0 = max(2, r1 // 10)
+    jac = _rate(lambda reps: _loop_jacobian(intg, reps, None),
+                intg, u, r0, r1)
+    res = _rate(lambda reps: _loop_residual(intg, reps), intg, u, r0, r1)
+    rows.append(("1t", 3, ne, res, jac, 0.0))
+    print(
+        f"| p=1 tet | 3D | {ne:>7} | {res:.3e} | {jac:.3e} | — |",
         file=sys.stderr,
         flush=True,
     )

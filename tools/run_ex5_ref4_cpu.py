@@ -54,6 +54,7 @@ def main():
         pb.form, rule, latent_block=1, latent_space=pb.latent_space,
         newton_opts=nopts, max_iter=100, tol=1e-8, verbose=True,
         newton_accept=1e-5,
+        checkpoint_path="/tmp/ex5_ref4_ckpt", checkpoint_every=1,
     )
 
     traj = []
