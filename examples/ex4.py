@@ -38,6 +38,8 @@ def main():
                          "(the scalable TPU default; 'dense' mirrors the "
                          "reference's MUMPS exactness on small problems)")
     ap.add_argument("-pv", "--paraview", action="store_true")
+    ap.add_argument("--geom", default=None, choices=[None, "tet"],
+                    help="tetrahedral mesh (dim=3 only; default hex)")
     ap.add_argument("-d", "--dim", type=int, default=2, choices=[2, 3],
                     help="3 = hex-mesh 3D obstacle (superset of the "
                          "2D-only reference, ex4.cpp:78)")
@@ -77,6 +79,7 @@ def main():
                 order=args.order,
                 ref_levels=args.ref,
                 dim=args.dim,
+                geom=args.geom,
                 rule_type=args.rule,
                 alpha0=args.alpha0,
                 max_alpha=args.max_alpha,

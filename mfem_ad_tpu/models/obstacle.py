@@ -226,11 +226,12 @@ def solve(
     gmg: bool = True,
     lin_maxiter: int = 2000,
     dim: int = 2,
+    geom: str | None = None,
 ):
-    pb = build(order, ref_levels, n0=n0, dim=dim)
+    pb = build(order, ref_levels, n0=n0, dim=dim, geom=geom)
     rule = PGStepSizeRule(rule_type, alpha0, max_alpha, ratio, ratio2)
     precond = None
-    if lin_solver == "schur" and gmg:
+    if lin_solver == "schur" and gmg and geom is None:
         precond = _primal_gmg(order, ref_levels, n0,
                               dim=dim).as_preconditioner()
     elif lin_solver not in ("dense", "schur"):

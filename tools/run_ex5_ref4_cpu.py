@@ -23,8 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/mfem_ad_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: no cache-dir override here — the package configures a
+# host-CPU-fingerprinted persistent cache (round 4: /tmp surviving a VM
+# migration otherwise serves AOT CPU executables the new host may not
+# run; cpu_aot_loader then warns about SIGILL risk).
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
