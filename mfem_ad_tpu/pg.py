@@ -335,10 +335,22 @@ class PGSolver:
                 if self.verbose:
                     print(f"PG resume from iteration {start_it}",
                           flush=True)
+        # distributed-layout (halo) forms: the latent block is extracted
+        # through the canonical converter once per OUTER iteration (the
+        # mirror state changes outside the Krylov hot loop; field vectors
+        # stay replicated in halo mode, integrator.eval_params)
+        if hasattr(self.form, "from_dist"):
+            def latent_of(xv):
+                xc = self.form.from_dist(np.asarray(xv))
+                return jnp.asarray(xc[off[s] : off[s + 1]])
+        else:
+            def latent_of(xv):
+                return xv[off[s] : off[s + 1]]
+
         for it in range(start_it, self.max_iter):
             t_it = time.perf_counter()
             alpha = self.rule.get(it)
-            psik = x[off[s] : off[s + 1]]
+            psik = latent_of(x)
             fields["alpha"] = jnp.asarray(alpha)
             fields["latent_k0"] = psik
             with profiling.phase("pg/newton"):
@@ -363,7 +375,7 @@ class PGSolver:
                         )
                     break
             x = res.x
-            psi = x[off[s] : off[s + 1]]
+            psi = latent_of(x)
             lam = (psi - psik) / alpha
             if lam_prev is not None:
                 with profiling.phase("pg/lambda_norm"):

@@ -253,3 +253,35 @@ def test_halo_schur_full_lvpp_solve(eight_devices):
     assert res_h.converged and res_s.converged
     x_h = hf.from_dist(np.asarray(res_h.x))
     assert np.allclose(x_h, np.asarray(res_s.x), atol=1e-8)
+
+
+def test_halo_full_pg_solver_matches_serial(eight_devices):
+    """The FULL outer LVPP loop (PGSolver) runs on HaloShardedForm —
+    distributed dof vectors end-to-end, latent extracted through the
+    canonical converter once per outer iteration — and reproduces the
+    serial PG trajectory."""
+    from mfem_ad_tpu.models import obstacle
+    from mfem_ad_tpu.pg import PGSolver, PGStepSizeRule
+    from mfem_ad_tpu.solvers import NewtonOptions
+
+    pb = obstacle.build(order=1, ref_levels=0, n0=16)
+    rule = PGStepSizeRule(PGStepSizeRule.EXP, 0.1, 1e4, 2.0, 1.0)
+    nopts = NewtonOptions(abs_tol=1e-9, max_iter=20, lin_solver="schur",
+                          lin_tol=1e-12, lin_maxiter=400)
+
+    def solve(form, x0, rhs):
+        return PGSolver(
+            form, rule, latent_block=1, latent_space=pb.latent_space,
+            newton_opts=nopts, max_iter=30, tol=1e-7,
+        ).solve(x0, rhs)
+
+    res_s = solve(pb.form, jnp.zeros(pb.form.ndof), pb.rhs)
+    hf = HaloShardedForm(pb.form)
+    res_h = solve(hf, hf.dist_array(np.zeros(pb.form.ndof)),
+                  hf.dist_array(np.asarray(pb.rhs)))
+    assert res_s.converged and res_h.converged
+    assert res_s.iterations == res_h.iterations
+    x_h = hf.from_dist(np.asarray(res_h.x))
+    assert np.allclose(x_h, np.asarray(res_s.x), atol=1e-7)
+    assert np.isclose(res_h.lambda_diff, res_s.lambda_diff,
+                      rtol=1e-3, atol=1e-12)
