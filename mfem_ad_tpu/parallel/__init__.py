@@ -15,4 +15,16 @@ The TPU-native replacement for the reference's MPI domain decomposition
 from .halo import HaloShardedForm
 from .sharding import ShardedForm
 
-__all__ = ["ShardedForm", "HaloShardedForm"]
+
+def auto_sharded(form, devices=None, axis_name: str = "elems"):
+    """The best available sharded view of ``form``: the O(surface)
+    halo-exchange layout when its banding constraints hold (structured
+    spaces, outer cell count divisible by the device count), else the
+    replicated-dof ``ShardedForm`` (any mesh, any element count)."""
+    try:
+        return HaloShardedForm(form, devices=devices, axis_name=axis_name)
+    except (ValueError, NotImplementedError):
+        return ShardedForm(form, devices=devices, axis_name=axis_name)
+
+
+__all__ = ["ShardedForm", "HaloShardedForm", "auto_sharded"]

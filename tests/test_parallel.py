@@ -331,3 +331,19 @@ def test_sharded_triangle_fast_path_matches_serial(eight_devices):
         float(pb.form.energy(u, fields)), float(sf.energy(u, fields)),
         atol=1e-12,
     )
+
+
+def test_auto_sharded_selects_by_constraints(eight_devices):
+    """auto_sharded picks the halo layout when the banding constraints
+    hold and falls back to the replicated ShardedForm otherwise."""
+    from mfem_ad_tpu.models import obstacle
+    from mfem_ad_tpu.parallel import (
+        HaloShardedForm,
+        ShardedForm,
+        auto_sharded,
+    )
+
+    good = obstacle.build(order=1, ref_levels=0, n0=16)
+    assert isinstance(auto_sharded(good.form), HaloShardedForm)
+    bad = obstacle.build(order=1, ref_levels=0, n0=10)  # 10 % 8 != 0
+    assert isinstance(auto_sharded(bad.form), ShardedForm)
