@@ -241,6 +241,16 @@ class ADFunction:
     # contract: "never hand-code a bilinear form again").
     gradient_closed = None
     hessian_closed = None
+    # ``hessian_closed_entries(x, p) -> list[list[h_ab]]`` is the
+    # UN-STACKED form of ``hessian_closed``: the n x n entries as plain
+    # expressions over the indexables ``x[k]`` / ``p[name][i]`` with no
+    # jnp.stack.  The fused Pallas kernel consumes it with [nq, blk]
+    # TILES as the "scalars" — hand-tiled straight-line code is the only
+    # form Mosaic compiles well (the vmapped/stacked forms measured 7.5M
+    # elem/s vs XLA's 177M at the p1/2D headline; see
+    # ops/fused_jacobian.py).  Entries may be constants or sub-shaped
+    # (broadcastable); the consumer broadcasts.
+    hessian_closed_entries = None
 
 
 class ADVectorFunction:
@@ -418,7 +428,7 @@ class LinearElasticityEnergy(ADFunction):
             ]
         )
 
-    def hessian_closed(self, gradu, p):
+    def hessian_closed_entries(self, gradu, p):
         # H_{(ij),(kl)} = lam d_ij d_kl + mu (d_ik d_jl + d_il d_jk):
         # state-independent (the energy is quadratic)
         d = self.dim
@@ -435,8 +445,13 @@ class LinearElasticityEnergy(ADFunction):
                     + mu * ((i == k) * (j == l_) + (i == l_) * (j == k))
                 )
                 row.append(h * jnp.ones_like(lam))
-            rows.append(jnp.stack(row))
-        return jnp.stack(rows)
+            rows.append(row)
+        return rows
+
+    def hessian_closed(self, gradu, p):
+        return jnp.stack([
+            jnp.stack(r) for r in self.hessian_closed_entries(gradu, p)
+        ])
 
 
 class NeoHookeanEnergy(ADFunction):
@@ -516,7 +531,7 @@ class NeoHookeanEnergy(ADFunction):
             ]
         )
 
-    def hessian_closed(self, gradu, p):
+    def hessian_closed_entries(self, gradu, p):
         # H_{(ij),(kl)} = mu d_ik d_jl + lam Ft_ij Ft_kl
         #                 + (mu - lam logJ) Finv_jk Finv_li,
         # Ft = F^{-T}: the standard compressible neo-Hookean tangent
@@ -539,8 +554,13 @@ class NeoHookeanEnergy(ADFunction):
                 if a == b:
                     h = h + mu
                 row.append(h)
-            rows.append(jnp.stack(row))
-        return jnp.stack(rows)
+            rows.append(row)
+        return rows
+
+    def hessian_closed(self, gradu, p):
+        return jnp.stack([
+            jnp.stack(r) for r in self.hessian_closed_entries(gradu, p)
+        ])
 
 
 class Lagrangian(ADFunction):

@@ -1270,13 +1270,19 @@ class ADBlockIntegrator:
                           fast: bool = True):
         """Dense element Jacobians A_e [ne, nde, nde] of the (0, 0) block.
 
-        Default route is the two-stage XLA path (hess_state +
-        element_matrices): XLA fuses the per-qp AD into the single large
-        A = H @ W GEMM, measured 178.7M elem/s on v5e at Q1/2D — 28x
-        faster than the Pallas kernel's per-qp dots (6.4M elem/s, r2 A/B).
-        Set MFEM_AD_TPU_FUSED=1 to route eligible integrators through the
-        Pallas kernel instead (correct on-chip since r2, but slower until
-        its contraction is restructured)."""
+        Routing (round 5): when the energy carries hand-tiled closed-form
+        Hessian entries (``hessian_closed_entries``, the whole built-in
+        library) and the tables admit the fused kernel, the TPU f32 path
+        goes through the hand-tiled Pallas kernel — measured 5.68e8
+        elem/s at the p1/2D headline vs 1.77e8 for the two-stage XLA
+        route (ops/fused_jacobian.py _kernel_tile).  Everything else
+        takes the two-stage XLA path (hess_state + element_matrices),
+        which beats every OTHER kernel form tried: the vmap-closed and
+        generic-HVP Pallas variants measured 7.5M/11.4M elem/s
+        (Mosaic relayout pathology), and XLA's fused jacfwd beats the
+        unstacked closed form outside a kernel (BENCH_SWEEP r5).
+        MFEM_AD_TPU_FUSED=0 disables the kernel route; =1 forces it even
+        without closed entries (the slow HVP variant, for A/B)."""
         import os as _os
 
         from .ops.fused_jacobian import (
@@ -1284,11 +1290,20 @@ class ADBlockIntegrator:
             supports_fused,
         )
 
+        _fused_env = _os.environ.get("MFEM_AD_TPU_FUSED")
         if (
             not fields
+            and _fused_env != "0"
             and supports_fused(self)
             and jax.default_backend() == "tpu"
-            and _os.environ.get("MFEM_AD_TPU_FUSED") == "1"
+            and (
+                _fused_env == "1"
+                or (
+                    getattr(self.f, "hessian_closed_entries", None)
+                    is not None
+                    and self.dtype == jnp.float32
+                )
+            )
         ):
             return element_jacobian_via_pallas(self, ublocks, tables=tables)
         # 3D/W0 configs assemble through the _elmat_planar batched-GEMM

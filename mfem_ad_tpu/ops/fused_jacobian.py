@@ -77,7 +77,46 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(energy, nq, n, pnames, uet_ref, R_ref, Wt_ref,
+def _kernel_tile(hess_entries, nq, n, pnames, pks, uet_ref, Rm_ref,
+                 Wtp_ref, *param_refs_and_out):
+    """Hand-tiled closed-form variant: every 'scalar' of the energy's
+    Hessian formula is a [nq, blk] TILE, with no vmap and no jnp.stack.
+
+    Mosaic compiles vmapped/stacked per-point graphs to large padded
+    relayouts (the vmap-closed variant below measured 7.5M elem/s with a
+    107 MB scoped live set at blk=2048 vs XLA's 177M at the p1/2D
+    headline).  This variant hands it a straight-line program instead:
+    ~50 full-tile VPU ops, one sublane concat, one GEMM.  Layouts are
+    pre-permuted on the host so the kernel never transposes:
+    - Rm rows are (m, q)-major  -> g_m = x[m*nq:(m+1)*nq] is contiguous;
+    - Wtp columns are (a, b, q)-major -> Hall concat order matches.
+    """
+    param_refs = param_refs_and_out[:-1]
+    out_ref = param_refs_and_out[-1]
+    blk = uet_ref.shape[1]
+    dt = uet_ref.dtype
+
+    x = jnp.dot(Rm_ref[:], uet_ref[:], preferred_element_type=dt,
+                precision=jax.lax.Precision.HIGHEST)  # [n*nq, blk]
+    g = [x[m * nq:(m + 1) * nq, :] for m in range(n)]
+    pt = {
+        name: [ref[:][:, i:i + 1] for i in range(k)]
+        for name, ref, k in zip(pnames, param_refs, pks)
+    }
+    rows = hess_entries(g, pt)
+    slabs = [
+        jnp.broadcast_to(jnp.asarray(rows[a][b], dt), (nq, blk))
+        for a in range(n) for b in range(n)
+    ]
+    Hall = jnp.concatenate(slabs, axis=0)  # [(a,b,q) flat, blk]
+    out_ref[:] = jnp.dot(
+        Wtp_ref[:], Hall,
+        preferred_element_type=dt,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _kernel(energy, hess, nq, n, pnames, uet_ref, R_ref, Wt_ref,
             *param_refs_and_out):
     param_refs = param_refs_and_out[:-1]
     out_ref = param_refs_and_out[-1]
@@ -88,6 +127,28 @@ def _kernel(energy, nq, n, pnames, uet_ref, R_ref, Wt_ref,
     x = jnp.dot(R_ref[:], uet_ref[:], preferred_element_type=dt,
                 precision=jax.lax.Precision.HIGHEST)
     x3 = x.reshape(nq, n, blk)  # leading-dim split: Mosaic-legal
+
+    pall = {k: r[:] for k, r in zip(pnames, param_refs)}  # [nq, kparam]
+    if hess is not None:
+        # Closed-form per-qp Hessian (ad.py hessian_closed): pure scalar
+        # arithmetic with ~5-10x fewer FLOPs than the HVP sweep below and
+        # a live set of a handful of [nq, blk] tiles — no n-fold tangent
+        # blowup, so the block size is VMEM-bound by Hq itself and can be
+        # 4x larger.  Round-5 note: OUTSIDE a fused kernel this same
+        # closed form LOSES to jacfwd (the stacked-H relayout at the XLA
+        # kernel boundary, BENCH_SWEEP round-5 addendum); here there is
+        # no boundary — Hq never leaves VMEM.
+        Hq = jax.vmap(  # over qps (axis 0 of x3 and of each param)
+            jax.vmap(hess, in_axes=(1, None), out_axes=2),  # elem lanes
+            in_axes=(0, 0), out_axes=0,
+        )(x3, pall)  # [nq, n, n, blk]
+        Hall = Hq.reshape(nq * n * n, blk)
+        out_ref[:] = jnp.dot(
+            Wt_ref[:], Hall,
+            preferred_element_type=dt,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return
 
     # Batch the AD stage over BOTH the element-lane axis and the qp axis:
     # the scalar-unrolled energy graphs turn every elementwise AD op into
@@ -107,7 +168,6 @@ def _kernel(energy, nq, n, pnames, uet_ref, R_ref, Wt_ref,
                         (jnp.stack(ej),))
         return hj  # [n]
 
-    pall = {k: r[:] for k, r in zip(pnames, param_refs)}  # [nq, kparam]
     rows = []
     for j in range(n):
         row = jax.vmap(  # over qps (axis 0 of x3 and of each param)
@@ -131,7 +191,8 @@ def _kernel(energy, nq, n, pnames, uet_ref, R_ref, Wt_ref,
 
 def fused_element_jacobian(
     ue, R, W, wq, energy, params, nq: int, n: int, nde: int,
-    block: int = 512, interpret: bool = False,
+    block: int = 512, interpret: bool = False, hess=None,
+    hess_entries=None,
 ):
     """A_e = sum_q w_q B_q^T H(x_q) B_q for all elements, fused in VMEM.
 
@@ -165,7 +226,22 @@ def fused_element_jacobian(
     Wt = (W * wrep[:, None]).T  # [nde*nde, nq*n*n]
 
     grid = (nep // block,)
-    kernel = functools.partial(_kernel, energy, nq, n, pnames)
+    if hess_entries is not None:
+        # host-side layout pre-permutations for the tile kernel
+        rperm = np.asarray(
+            [q * n + m for m in range(n) for q in range(nq)]
+        )
+        R = jnp.asarray(R)[rperm]  # (m, q)-major rows
+        cperm = np.asarray(
+            [q * n * n + ab for ab in range(n * n) for q in range(nq)]
+        )
+        Wt = Wt[:, cperm]  # (a, b, q)-major columns
+        pks = tuple(int(v.shape[1]) for v in pvals)
+        kernel = functools.partial(
+            _kernel_tile, hess_entries, nq, n, pnames, pks
+        )
+    else:
+        kernel = functools.partial(_kernel, energy, hess, nq, n, pnames)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -210,7 +286,7 @@ def supports_fused(intg, s: int = 0) -> bool:
 
 
 def element_jacobian_via_pallas(intg, ublocks, interpret: bool = False,
-                                block: int = 512, tables=None):
+                                block: int | None = None, tables=None):
     """Drop-in fused replacement for
     ``intg.element_matrices(intg.hess_state(ublocks), 0, 0)``.
 
@@ -226,7 +302,26 @@ def element_jacobian_via_pallas(intg, ublocks, interpret: bool = False,
     wq = jnp.asarray(t["w"][0], dtype=ue2.dtype)
     n = intg.n_input
     nde = intg.vdim[0] * intg.nd[0]
+    # Route preference: hand-tiled closed-form entries (the only form
+    # Mosaic compiles well) > vmapped closed form > generic HVP sweep
+    # (works for any energy).  MFEM_AD_TPU_FUSED_AD=1 forces the HVP
+    # path; MFEM_AD_TPU_FUSED_VMAP=1 forces the vmap-closed path (for
+    # A/B reproduction — it measured 7.5M elem/s, see _kernel_tile).
+    import os
+
+    hess_entries = getattr(intg.f, "hessian_closed_entries", None)
+    hess = getattr(intg.f, "hessian_closed", None)
+    if os.environ.get("MFEM_AD_TPU_FUSED_VMAP") == "1":
+        hess_entries = None
+    if os.environ.get("MFEM_AD_TPU_FUSED_AD") == "1":
+        hess_entries = hess = None
+    closed = hess_entries is not None or hess is not None
+    if block is None:
+        block = int(os.environ.get(
+            "MFEM_AD_TPU_FUSED_BLOCK", 4096 if closed else 512
+        ))
     return fused_element_jacobian(
         ue2, t["R"][0], t["W"]["0_0"], wq, intg.f.energy, params,
-        intg.nq, n, nde, block=block, interpret=interpret,
+        intg.nq, n, nde, block=block, interpret=interpret, hess=hess,
+        hess_entries=hess_entries,
     )
