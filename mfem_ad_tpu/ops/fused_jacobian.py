@@ -116,6 +116,47 @@ def _kernel_tile(hess_entries, nq, n, pnames, pks, uet_ref, Rm_ref,
     )
 
 
+def _kernel_tile_blocked(hess_entries, nq, n, vdim, sd, nd, pnames, pks,
+                         uet_ref, Rm_ref, W0tp_ref, *param_refs_and_out):
+    """Blocked-W0 variant of ``_kernel_tile`` for pure-GRAD vector
+    energies (n = vdim*sd): contracts per vdim-block pair with the
+    W0 = b0 (x) b0 factor — vdim^2 fewer GEMM FLOPs than the full
+    W = Bf (x) Bf (integrator cost model, integrator.py:741-836).  This
+    is what serves the 3D / high-order regime the full-W kernel cannot
+    reach (the integrator never builds full W there).  Output rows are
+    (v, w, i, j)-major; the host-side wrapper permutes to the standard
+    (v, i, w, j) element-matrix order outside the kernel."""
+    param_refs = param_refs_and_out[:-1]
+    out_ref = param_refs_and_out[-1]
+    blk = uet_ref.shape[1]
+    dt = uet_ref.dtype
+
+    x = jnp.dot(Rm_ref[:], uet_ref[:], preferred_element_type=dt,
+                precision=jax.lax.Precision.HIGHEST)  # [n*nq, blk]
+    g = [x[m * nq:(m + 1) * nq, :] for m in range(n)]
+    pt = {
+        name: [ref[:][:, i:i + 1] for i in range(k)]
+        for name, ref, k in zip(pnames, param_refs, pks)
+    }
+    rows = hess_entries(g, pt)
+    for v in range(vdim):
+        for w in range(vdim):
+            slabs = [
+                jnp.broadcast_to(
+                    jnp.asarray(rows[v * sd + a][w * sd + b], dt),
+                    (nq, blk),
+                )
+                for a in range(sd) for b in range(sd)
+            ]
+            Hblk = jnp.concatenate(slabs, axis=0)  # [(a,b,q), blk]
+            vw = v * vdim + w
+            out_ref[vw * nd * nd:(vw + 1) * nd * nd, :] = jnp.dot(
+                W0tp_ref[:], Hblk,
+                preferred_element_type=dt,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+
 def _kernel(energy, hess, nq, n, pnames, uet_ref, R_ref, Wt_ref,
             *param_refs_and_out):
     param_refs = param_refs_and_out[:-1]
@@ -192,7 +233,7 @@ def _kernel(energy, hess, nq, n, pnames, uet_ref, R_ref, Wt_ref,
 def fused_element_jacobian(
     ue, R, W, wq, energy, params, nq: int, n: int, nde: int,
     block: int = 512, interpret: bool = False, hess=None,
-    hess_entries=None,
+    hess_entries=None, W0=None, vdim=None, sd=None, nd=None,
 ):
     """A_e = sum_q w_q B_q^T H(x_q) B_q for all elements, fused in VMEM.
 
@@ -220,26 +261,46 @@ def fused_element_jacobian(
     nep = ne + pad
     pnames = tuple(sorted(params))
     pvals = [jnp.asarray(params[k]) for k in pnames]
-    # fold the (element-invariant) quadrature weights into the contraction
-    # factor so the kernel needs no small-vector broadcast
-    wrep = jnp.repeat(jnp.asarray(wq, W.dtype), n * n)  # [nq*n*n]
-    Wt = (W * wrep[:, None]).T  # [nde*nde, nq*n*n]
-
+    blocked = (
+        hess_entries is not None and W0 is not None
+        and vdim is not None and n == vdim * sd
+    )
     grid = (nep // block,)
+    if blocked:
+        # blocked-W0 tile kernel: fold w into W0 rows ((q,a,b)-flat),
+        # transpose, and column-permute to the kernel's (a,b,q) order
+        W0 = jnp.asarray(W0)
+        wrep = jnp.repeat(jnp.asarray(wq, W0.dtype), sd * sd)
+        W0t = (W0 * wrep[:, None]).T  # [nd*nd, nq*sd*sd]
+        cperm = np.asarray(
+            [q * sd * sd + ab for ab in range(sd * sd) for q in range(nq)]
+        )
+        Wt = W0t[:, cperm]
+    else:
+        # fold the (element-invariant) quadrature weights into the
+        # contraction factor so the kernel needs no small-vector broadcast
+        wrep = jnp.repeat(jnp.asarray(wq, W.dtype), n * n)  # [nq*n*n]
+        Wt = (W * wrep[:, None]).T  # [nde*nde, nq*n*n]
     if hess_entries is not None:
-        # host-side layout pre-permutations for the tile kernel
+        # host-side layout pre-permutations for the tile kernels
         rperm = np.asarray(
             [q * n + m for m in range(n) for q in range(nq)]
         )
         R = jnp.asarray(R)[rperm]  # (m, q)-major rows
-        cperm = np.asarray(
-            [q * n * n + ab for ab in range(n * n) for q in range(nq)]
-        )
-        Wt = Wt[:, cperm]  # (a, b, q)-major columns
         pks = tuple(int(v.shape[1]) for v in pvals)
-        kernel = functools.partial(
-            _kernel_tile, hess_entries, nq, n, pnames, pks
-        )
+        if blocked:
+            kernel = functools.partial(
+                _kernel_tile_blocked, hess_entries, nq, n, vdim, sd, nd,
+                pnames, pks,
+            )
+        else:
+            cperm = np.asarray(
+                [q * n * n + ab for ab in range(n * n) for q in range(nq)]
+            )
+            Wt = Wt[:, cperm]  # (a, b, q)-major columns
+            kernel = functools.partial(
+                _kernel_tile, hess_entries, nq, n, pnames, pks
+            )
     else:
         kernel = functools.partial(_kernel, energy, hess, nq, n, pnames)
     out = pl.pallas_call(
@@ -264,14 +325,33 @@ def fused_element_jacobian(
             ),
         }),
     )(uet, R, Wt, *pvals)
+    if blocked:
+        # kernel rows are (v, w, i, j)-major; permute to (v, i, w, j)
+        return (
+            out[:, :ne].T
+            .reshape(ne, vdim, vdim, nd, nd)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(ne, nde, nde)
+        )
     return out[:, :ne].T.reshape(ne, nde, nde)
 
 
 def supports_fused(intg, s: int = 0) -> bool:
     """True when the integrator's tables admit the fused kernel for the
-    (s, s) diagonal block: shared B (R/W present) and shared statics."""
+    (s, s) diagonal block: shared B (R plus a W or blocked-W0 factor) and
+    shared statics.  W0-only configs (3D / high order, where the
+    integrator never builds full W) are admitted only for the blocked
+    tile kernel: closed-form entries and a pure-GRAD vector layout."""
     t = intg.tables
-    if "R" not in t or f"{s}_{s}" not in t.get("W", {}):
+    if "R" not in t:
+        return False
+    has_w = f"{s}_{s}" in t.get("W", {})
+    has_w0 = (
+        f"{s}_{s}" in t.get("W0", {})
+        and getattr(intg.f, "hessian_closed_entries", None) is not None
+        and intg.n_input == intg.vdim[s] * intg.sd[s]
+    )
+    if not (has_w or has_w0):
         return False
     if len(intg.spaces) != 1:
         return False
@@ -320,8 +400,23 @@ def element_jacobian_via_pallas(intg, ublocks, interpret: bool = False,
         block = int(os.environ.get(
             "MFEM_AD_TPU_FUSED_BLOCK", 4096 if closed else 512
         ))
+    W = t.get("W", {}).get("0_0")
+    W0 = t.get("W0", {}).get("0_0")
+    # blocked-W0 wins vdim^2 GEMM FLOPs wherever the integrator's cost
+    # model built W0 (it only builds it where blocked beats full); the
+    # full-W kernel is the fallback (and the only choice for vmap/HVP
+    # modes, which need the single flat contraction).
+    if W0 is None or hess_entries is None or n != intg.vdim[0] * intg.sd[0]:
+        W0 = None
+        if W is None:
+            raise ValueError(
+                "fused kernel needs a full W table for this mode "
+                "(supports_fused admits W0-only configs only with "
+                "closed-form entries)"
+            )
     return fused_element_jacobian(
-        ue2, t["R"][0], t["W"]["0_0"], wq, intg.f.energy, params,
+        ue2, t["R"][0], W, wq, intg.f.energy, params,
         intg.nq, n, nde, block=block, interpret=interpret, hess=hess,
-        hess_entries=hess_entries,
+        hess_entries=hess_entries, W0=W0, vdim=intg.vdim[0],
+        sd=intg.sd[0], nd=intg.nd[0],
     )
